@@ -30,6 +30,13 @@ __all__ = [
 ]
 
 
+def _scalar_gaussian_flow(q, p, m, dt):
+    """Exact flow of ``h2 = q^2/2 + p^2/(2m)`` per coordinate (mass ``m``)."""
+    omega = 1.0 / jnp.sqrt(m)
+    c, s = jnp.cos(omega * dt), jnp.sin(omega * dt)
+    return c * q + s * omega * p, c * p - s * q / omega
+
+
 @jax.tree_util.register_pytree_node_class
 class IdentityMetric:
     """The identity mass matrix."""
@@ -48,6 +55,11 @@ class IdentityMetric:
 
     def param_block(self, dim):
         return jnp.eye(dim)
+
+    def gaussian_flow(self, q, p, dt):
+        """Exact rotation flow of ``h2 = (1/2) q.q + (1/2) p.M^-1 p``."""
+        c, s = jnp.cos(dt), jnp.sin(dt)
+        return c * q + s * p, c * p - s * q
 
     def tree_flatten(self):
         return (), None
@@ -79,6 +91,9 @@ class DiagonalMetric:
     def param_block(self, dim):
         return jnp.diag(self.diag[:dim])
 
+    def gaussian_flow(self, q, p, dt):
+        return _scalar_gaussian_flow(q, p, self.diag, dt)
+
     def tree_flatten(self):
         return (self.diag,), None
 
@@ -109,6 +124,13 @@ class DenseMetric:
 
     def param_block(self, dim):
         return self.matrix[:dim, :dim]
+
+    def gaussian_flow(self, q, p, dt):
+        # Diagonalise M = V diag(m) V^T once per call; adapted metrics are
+        # finalized rarely so this is off the hot path for typical runs.
+        eigval, eigvec = jnp.linalg.eigh(self.matrix)
+        q_hat, p_hat = _scalar_gaussian_flow(eigvec.T @ q, eigvec.T @ p, eigval, dt)
+        return eigvec @ q_hat, eigvec @ p_hat
 
     def tree_flatten(self):
         return (self.matrix, self.chol), None
@@ -165,6 +187,17 @@ class BlockDiagonalMetric:
                 f"requested {dim}"
             )
         return self.param_matrix
+
+    def gaussian_flow(self, q, p, dt):
+        eigval, eigvec = jnp.linalg.eigh(self.param_matrix)
+        q_h, q_t = self._split(q)
+        p_h, p_t = self._split(p)
+        q_hat, p_hat = _scalar_gaussian_flow(eigvec.T @ q_h, eigvec.T @ p_h, eigval, dt)
+        c, s = jnp.cos(dt), jnp.sin(dt)
+        return (
+            jnp.concatenate([eigvec @ q_hat, c * q_t + s * p_t], axis=-1),
+            jnp.concatenate([eigvec @ p_hat, c * p_t - s * q_t], axis=-1),
+        )
 
     def tree_flatten(self):
         return (self.param_matrix, self.param_chol), None
