@@ -1,0 +1,476 @@
+"""Vmapped multi-chain sampling drivers with on-device warm-up adaptation.
+
+This is the TPU replacement for the reference's host-side Mici chain loop
+(``sampler.sample_chains_with_adaptive_warm_up`` at
+``scripts/utils.py:311-365``): the *entire* run -- momentum refresh, dynamic
+tree transitions, partition switching, dual-averaging and metric adaptation,
+and trace recording -- is one jitted program.  Chains batch along a leading
+``vmap`` axis (1024+ per chip); iterations advance in ``lax.scan``.
+
+Structure per CHMC iteration (matching the reference's ordered transitions
+{momentum, integration, switch_partition}, ``scripts/utils.py:292-301``):
+
+1. evaluate the point cache at the current position (Gram factors, gradient),
+2. sample a fresh momentum in the cotangent space,
+3. run one dynamic multinomial HMC transition on the current partition,
+4. refresh ``x_obs_seq`` from the new position and advance the partition
+   (deterministic alternation -- the scan body unrolls the ``num_partition``
+   static variants, so no dynamic shapes ever reach XLA).
+
+Warm-up follows Stan-style staging: with only step-size adaptation a single
+dual-averaging stage; with a metric adapter, an initial fast buffer, doubling
+slow windows (metric re-estimated and dual averaging re-centred at each
+window boundary), and a terminal fast buffer.  Cross-chain reductions (final
+step size, Welford merges) are the only inter-chain communication.
+"""
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from manifold_mcmc_tpu.samplers import adapters as ad
+from manifold_mcmc_tpu.samplers.hmc import dynamic_multinomial_hmc
+from manifold_mcmc_tpu.samplers.integrators import (
+    make_constrained_integrator,
+    make_leapfrog_integrator,
+)
+from manifold_mcmc_tpu.systems.metrics import IdentityMetric
+
+__all__ = [
+    "find_reasonable_step_size",
+    "sample_chmc_chains",
+    "sample_hmc_chains",
+    "stan_windows",
+]
+
+
+def find_reasonable_step_size(integ, metric, point, init_step_size=1.0, max_tries=30):
+    """Heuristic initial step size: double/halve until the one-step accept
+    probability crosses 1/2 (Hoffman & Gelman 2014, Algorithm 4).
+
+    Integrator failures count as acceptance probability 0 (halve).  Pure
+    function of the starting point -- runs per chain under ``vmap``.
+    """
+    h0 = integ.energy(point, metric)
+    dtype = point.pos.dtype
+
+    def neg_delta_h(eps):
+        pt, ok, _ = integ.step(point, eps, metric)
+        h1 = integ.energy(pt, metric)
+        ndh = h0 - h1
+        return jnp.where(ok & jnp.isfinite(ndh), ndh, -jnp.inf)
+
+    eps0 = jnp.asarray(init_step_size, dtype)
+    # direction: +1 (double) while accept prob > 1/2, else -1 (halve)
+    direction = jnp.where(neg_delta_h(eps0) > jnp.log(0.5), 1.0, -1.0).astype(dtype)
+
+    def cond(carry):
+        eps, i = carry
+        return (direction * neg_delta_h(eps) > direction * jnp.log(0.5)) & (
+            i < max_tries
+        )
+
+    def body(carry):
+        eps, i = carry
+        return eps * jnp.exp2(direction), i + 1
+
+    eps, _ = lax.while_loop(cond, body, (eps0, jnp.array(0, jnp.int32)))
+    # One step back for the doubling direction so the final accept prob is
+    # on the >1/2 side.
+    return jnp.where(direction > 0, eps * 0.5, eps)
+
+
+def stan_windows(num_warm_up_iter, init_buffer=75, term_buffer=50, base_window=25):
+    """Stan-style warm-up schedule: (fast, [slow windows...], fast).
+
+    Returns ``(init_fast, slow_window_lengths, term_fast)``; windows double in
+    length and the final one absorbs the remainder.  Degenerates gracefully
+    for short warm-ups.
+    """
+    W = num_warm_up_iter
+    if W < init_buffer + term_buffer + base_window:
+        init_buffer = int(0.15 * W)
+        term_buffer = int(0.1 * W)
+    slow_total = W - init_buffer - term_buffer
+    windows = []
+    w = base_window
+    remaining = slow_total
+    while remaining > 0:
+        if remaining < 2 * w or remaining < w + base_window:
+            windows.append(remaining)
+            remaining = 0
+        else:
+            windows.append(w)
+            remaining -= w
+            w *= 2
+    return init_buffer, windows, term_buffer
+
+
+def _split_keys(key, num):
+    return jax.random.split(key, num)
+
+
+# --------------------------------------------------------------------- #
+# CHMC driver                                                            #
+# --------------------------------------------------------------------- #
+
+
+def sample_chmc_chains(
+    system,
+    init_pos,
+    init_x_obs_seq,
+    key,
+    num_warm_up_iter,
+    num_main_iter,
+    projection_solver="newton",
+    n_inner_step=1,
+    reverse_check_tol=2e-8,
+    constraint_tol=1e-9,
+    position_tol=1e-8,
+    divergence_tol=1e10,
+    max_solver_iters=50,
+    max_tree_depth=10,
+    max_delta_h=1000.0,
+    adapt_stat_target=0.8,
+    step_size_reg_coefficient=0.05,
+    trace_func=None,
+    metric=IdentityMetric(),
+    init_step_size=None,
+):
+    """Sample vmapped CHMC chains for a conditioned diffusion system.
+
+    Args:
+        init_pos: (num_chains, dim_q) initial constraint-satisfying positions.
+        init_x_obs_seq: (num_chains, num_obs, dim_x) conditioning states.
+        trace_func: optional ``f(pos) -> dict`` of per-iteration traced values.
+
+    Returns a dict with final state, per-iteration traces (leading axes
+    ``(num_chains, num_iters)``), transition statistics, cumulative call
+    counters and the adapted step size.
+    """
+    num_chains = init_pos.shape[0]
+    num_partition = system.num_partition
+    dtype = init_pos.dtype
+    trace_func = trace_func if trace_func is not None else lambda q: {}
+
+    solver_cfg = dict(
+        projection_solver=projection_solver,
+        n_inner_step=n_inner_step,
+        reverse_check_tol=reverse_check_tol,
+        constraint_tol=constraint_tol,
+        position_tol=position_tol,
+        divergence_tol=divergence_tol,
+        max_iters=max_solver_iters,
+    )
+
+    def make_integ(x_obs_seq, partition):
+        return make_constrained_integrator(
+            system, x_obs_seq, partition=partition, **solver_cfg
+        )
+
+    def sub_iteration(q, x_obs, partition, key, step_size):
+        """Transitions {momentum, integration, switch-partition} at one partition."""
+        integ = make_integ(x_obs, partition)
+        k_mom, k_tree = _split_keys(key, 2)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        pos, mom, stats = dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
+        )
+        x_obs_new = system.generate_x_obs_seq(pos)
+        return pos, x_obs_new, stats
+
+    def warm_up_sweep(carry, _):
+        q, x_obs, da, key, counters = carry
+        key, *sub_keys = _split_keys(key, num_partition + 1)
+        for p in range(num_partition):
+            step_size = jnp.exp(da.log_step)
+            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
+            da = ad.dual_averaging_update(
+                da,
+                stats["accept_stat"],
+                adapt_stat_target=adapt_stat_target,
+                reg_coefficient=step_size_reg_coefficient,
+            )
+            counters = _update_counters(counters, stats)
+        return (q, x_obs, da, key, counters), None
+
+    def main_sweep(carry, _):
+        q, x_obs, step_size, key, counters = carry
+        key, *sub_keys = _split_keys(key, num_partition + 1)
+        traces, stats_out = [], []
+        for p in range(num_partition):
+            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
+            counters = _update_counters(counters, stats)
+            traces.append({**trace_func(q), **counters})
+            stats_out.append(stats)
+        stack = lambda ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ds)
+        return (q, x_obs, step_size, key, counters), (stack(traces), stack(stats_out))
+
+    @jax.jit
+    def run(init_pos, init_x_obs, keys, init_eps):
+        def per_chain(q0, x_obs0, chain_key, eps0):
+            counters = _init_counters()
+            # Initial step size search on partition 0.
+            integ0 = make_integ(x_obs0, 0)
+            k_mom, k_run = _split_keys(chain_key, 2)
+            point = integ0.init(q0, jnp.zeros_like(q0), metric)
+            point = point._replace(
+                mom=integ0.sample_momentum(k_mom, point, metric)
+            )
+            eps = find_reasonable_step_size(integ0, metric, point, eps0)
+            da = ad.dual_averaging_init(eps)
+            n_wu = max(1, math.ceil(num_warm_up_iter / num_partition))
+            (q, x_obs, da, k_run, counters), _ = lax.scan(
+                warm_up_sweep, (q0, x_obs0, da, k_run, counters), None, length=n_wu
+            )
+            return q, x_obs, da, k_run, counters
+
+        q, x_obs, da, run_keys, counters = jax.vmap(per_chain)(
+            init_pos, init_x_obs, keys, init_eps
+        )
+        # Cross-chain collective: final adapted step size.
+        step_size = ad.dual_averaging_finalize(da)
+
+        def per_chain_main(q0, x_obs0, chain_key, counters):
+            n_main = max(1, math.ceil(num_main_iter / num_partition))
+            return lax.scan(
+                main_sweep,
+                (q0, x_obs0, step_size, chain_key, counters),
+                None,
+                length=n_main,
+            )
+
+        (q, x_obs, _, _, counters), (traces, stats) = jax.vmap(per_chain_main)(
+            q, x_obs, run_keys, counters
+        )
+        return q, x_obs, counters, step_size, traces, stats
+
+    keys = _split_keys(key, num_chains)
+    init_eps = jnp.full((num_chains,), 1.0 if init_step_size is None else init_step_size, dtype)
+    q, x_obs, counters, step_size, traces, stats = run(
+        init_pos, init_x_obs_seq, keys, init_eps
+    )
+    # (chains, scan_steps, num_partition, ...) -> (chains, iters, ...)
+    flatten = lambda t: jax.tree_util.tree_map(
+        lambda x: x.reshape((x.shape[0], -1) + x.shape[3:]), t
+    )
+    return {
+        "final_pos": q,
+        "final_x_obs_seq": x_obs,
+        "final_step_size": step_size,
+        "call_counters": counters,
+        "traces": flatten(traces),
+        "stats": flatten(stats),
+    }
+
+
+def _init_counters():
+    z = jnp.array(0, jnp.int64) if jax.config.jax_enable_x64 else jnp.array(0, jnp.int32)
+    return {
+        "n_step_calls": z,
+        "constr_calls": z,
+        "jacob_constr_blocks_calls": z,
+        "chol_gram_blocks_calls": z,
+        "log_det_sqrt_gram_calls": z,
+        "grad_log_det_sqrt_gram_calls": z,
+        "neg_log_dens_calls": z,
+        "grad_neg_log_dens_calls": z,
+    }
+
+
+def _update_counters(counters, stats):
+    """Accumulate per-operation call counts from transition statistics.
+
+    Mirrors the reference's cumulative ``_call_counts`` tracing
+    (``scripts/utils.py:186-199``): per tree leaf one gradient evaluation
+    (which also evaluates the Jacobian, Gram Cholesky and log-det), and per
+    projection-solver iteration one constraint evaluation (the solver
+    iteration count is folded into ``constr_calls`` as in
+    ``mici_extensions.py:1382-1387``).
+    """
+    n = stats["n_step"].astype(counters["n_step_calls"].dtype)
+    solver_iters = stats.get("n_solver_iters")
+    out = dict(counters)
+    out["n_step_calls"] = counters["n_step_calls"] + n
+    out["grad_log_det_sqrt_gram_calls"] = (
+        counters["grad_log_det_sqrt_gram_calls"] + n
+    )
+    out["log_det_sqrt_gram_calls"] = counters["log_det_sqrt_gram_calls"] + n
+    out["jacob_constr_blocks_calls"] = counters["jacob_constr_blocks_calls"] + n
+    out["chol_gram_blocks_calls"] = counters["chol_gram_blocks_calls"] + n
+    if solver_iters is not None:
+        out["constr_calls"] = counters["constr_calls"] + solver_iters.astype(
+            counters["constr_calls"].dtype
+        )
+    out["neg_log_dens_calls"] = counters["neg_log_dens_calls"] + n
+    out["grad_neg_log_dens_calls"] = counters["grad_neg_log_dens_calls"] + n
+    return out
+
+
+# --------------------------------------------------------------------- #
+# HMC driver                                                             #
+# --------------------------------------------------------------------- #
+
+
+def sample_hmc_chains(
+    system,
+    init_pos,
+    key,
+    num_warm_up_iter,
+    num_main_iter,
+    max_tree_depth=10,
+    max_delta_h=1000.0,
+    adapt_stat_target=0.8,
+    step_size_reg_coefficient=0.05,
+    metric_type="identity",
+    dim_param=None,
+    trace_func=None,
+    init_step_size=None,
+):
+    """Sample vmapped dynamic-HMC chains for a Euclidean system.
+
+    ``metric_type`` in {"identity", "diagonal", "dense", "block"}; adaptive
+    metrics use Stan-style slow windows with cross-chain Welford merges
+    (``dim_param`` sets the block size for "block").
+    """
+    num_chains, dim_q = init_pos.shape
+    dtype = init_pos.dtype
+    trace_func = trace_func if trace_func is not None else lambda q: {}
+    integ = make_leapfrog_integrator(system)
+
+    if metric_type not in ("identity", "diagonal", "dense", "block"):
+        raise ValueError(f"unknown metric type {metric_type}")
+    if metric_type == "block" and dim_param is None:
+        raise ValueError("metric_type='block' requires dim_param")
+
+    def iteration(q, key, step_size, metric):
+        k_mom, k_tree = _split_keys(key, 2)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        pos, mom, stats = dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
+        )
+        return pos, stats
+
+    def warm_up_sweep(metric, collect_welford):
+        def sweep(carry, _):
+            q, da, wf, key = carry
+            key, k = _split_keys(key, 2)
+            q, stats = iteration(q, k, jnp.exp(da.log_step), metric)
+            da = ad.dual_averaging_update(
+                da,
+                stats["accept_stat"],
+                adapt_stat_target=adapt_stat_target,
+                reg_coefficient=step_size_reg_coefficient,
+            )
+            if collect_welford:
+                x = q[:dim_param] if metric_type == "block" else q
+                wf = ad.welford_update(wf, x)
+            return (q, da, wf, key), None
+
+        return sweep
+
+    def main_sweep(metric, step_size):
+        def sweep(carry, _):
+            q, key, counters = carry
+            key, k = _split_keys(key, 2)
+            q, stats = iteration(q, k, step_size, metric)
+            counters = _update_hmc_counters(counters, stats)
+            return (q, key, counters), ({**trace_func(q), **counters}, stats)
+
+        return sweep
+
+    wf_dim = dim_param if metric_type == "block" else dim_q
+    has_metric_adapter = metric_type != "identity"
+
+    if has_metric_adapter:
+        init_buffer, slow_windows, term_buffer = stan_windows(num_warm_up_iter)
+    else:
+        init_buffer, slow_windows, term_buffer = num_warm_up_iter, [], 0
+
+    def fresh_welford():
+        return ad.welford_init(wf_dim, dtype, diagonal=(metric_type == "diagonal"))
+
+    def finalize_metric(wf_merged):
+        if metric_type == "diagonal":
+            return ad.finalize_variance_metric(wf_merged)
+        if metric_type == "dense":
+            return ad.finalize_covariance_metric(wf_merged)
+        return ad.finalize_block_diagonal_metric(wf_merged)
+
+    @jax.jit
+    def run(init_pos, keys, init_eps):
+        metric = IdentityMetric()
+
+        def init_chain(q0, chain_key, eps0):
+            k_mom, k_run = _split_keys(chain_key, 2)
+            point = integ.init(q0, jnp.zeros_like(q0), metric)
+            point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+            eps = find_reasonable_step_size(integ, metric, point, eps0)
+            return ad.dual_averaging_init(eps), k_run
+
+        da, run_keys = jax.vmap(init_chain)(init_pos, keys, init_eps)
+        q = init_pos
+        wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
+
+        def scan_stage(q, da, wf, run_keys, metric, length, collect):
+            if length == 0:
+                return q, da, wf, run_keys
+            sweep = warm_up_sweep(metric, collect)
+            q, da, wf, run_keys = jax.vmap(
+                lambda q0, da0, wf0, k0: lax.scan(
+                    sweep, (q0, da0, wf0, k0), None, length=length
+                )[0]
+            )(q, da, wf, run_keys)
+            return q, da, wf, run_keys
+
+        # Initial fast stage (dual averaging only).
+        q, da, wf, run_keys = scan_stage(
+            q, da, wf, run_keys, metric, init_buffer, False
+        )
+        # Slow windows: collect Welford stats, re-estimate metric at each end.
+        for w in slow_windows:
+            wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
+            q, da, wf, run_keys = scan_stage(q, da, wf, run_keys, metric, w, True)
+            metric = finalize_metric(ad.welford_merge_chains(wf))
+            # Re-centre dual averaging on the current smoothed step size.
+            da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(da)
+        # Terminal fast stage.
+        q, da, wf, run_keys = scan_stage(
+            q, da, wf, run_keys, metric, term_buffer, False
+        )
+
+        step_size = ad.dual_averaging_finalize(da)
+        counters = _init_counters()
+        sweep = main_sweep(metric, step_size)
+        (q, _, counters), (traces, stats) = jax.vmap(
+            lambda q0, k0: lax.scan(
+                sweep, (q0, k0, _init_counters()), None, length=num_main_iter
+            )
+        )(q, run_keys)
+        return q, step_size, traces, stats
+
+    keys = _split_keys(key, num_chains)
+    init_eps = jnp.full(
+        (num_chains,), 1.0 if init_step_size is None else init_step_size, dtype
+    )
+    q, step_size, traces, stats = run(init_pos, keys, init_eps)
+    return {
+        "final_pos": q,
+        "final_step_size": step_size,
+        "traces": traces,
+        "stats": stats,
+    }
+
+
+def _update_hmc_counters(counters, stats):
+    n = stats["n_step"].astype(counters["neg_log_dens_calls"].dtype)
+    out = dict(counters)
+    out["n_step_calls"] = counters["n_step_calls"] + n
+    out["neg_log_dens_calls"] = counters["neg_log_dens_calls"] + n
+    out["grad_neg_log_dens_calls"] = counters["grad_neg_log_dens_calls"] + n
+    return out

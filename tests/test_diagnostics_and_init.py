@@ -1,0 +1,204 @@
+"""Tests for MCMC diagnostics, output IO and initialisation routines."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from manifold_mcmc_tpu.models import fhn
+from manifold_mcmc_tpu.systems.constrained import (
+    ConditionedDiffusionConstrainedSystem,
+)
+from manifold_mcmc_tpu.utils import stats as diag
+from manifold_mcmc_tpu.utils.output import (
+    create_output_dir_and_save_args,
+    save_summary,
+    write_stats,
+    write_traces,
+)
+
+
+# ----------------------------- diagnostics ---------------------------- #
+
+
+def test_ess_iid_draws(rng):
+    # ESS of iid draws should be close to the total number of draws.
+    x = rng.standard_normal((4, 2000))
+    ess = diag.ess_bulk(x)
+    assert 0.7 * 8000 < ess < 1.4 * 8000
+    assert abs(diag.split_rhat(x) - 1.0) < 0.01
+
+
+def test_ess_correlated_draws(rng):
+    # AR(1) with coefficient a has integrated autocorrelation (1+a)/(1-a).
+    a = 0.9
+    n, c = 20000, 4
+    eps = rng.standard_normal((c, n))
+    x = np.zeros((c, n))
+    for t in range(1, n):
+        x[:, t] = a * x[:, t - 1] + np.sqrt(1 - a**2) * eps[:, t]
+    ess = diag.ess_bulk(x)
+    expected = c * n / ((1 + a) / (1 - a))
+    assert 0.5 * expected < ess < 2.0 * expected
+
+
+def test_rhat_detects_nonconvergence(rng):
+    # Chains with different means must give a large R-hat.
+    x = rng.standard_normal((4, 500))
+    x[0] += 5.0
+    assert diag.split_rhat(x) > 1.5
+    # Trending chain (first half vs second half differ) also flagged.
+    y = rng.standard_normal((2, 500)) + np.linspace(0, 4, 500)
+    assert diag.split_rhat(y) > 1.2
+
+
+def test_summary_layout(rng):
+    traces = {
+        "sigma": rng.standard_normal((2, 200)),
+        "x_0": rng.standard_normal((2, 200, 2)),
+    }
+    s = diag.summary(traces)
+    assert set(s) == {"mean", "sd", "ess_bulk", "ess_tail", "r_hat"}
+    assert set(s["mean"]) == {"sigma", "x_0[0]", "x_0[1]"}
+    assert np.isfinite(s["ess_bulk"]["sigma"])
+
+
+# ------------------------------- output ------------------------------- #
+
+
+def test_output_contract(tmp_path, rng):
+    out = str(tmp_path / "exp")
+    create_output_dir_and_save_args(out, {"seed": 1, "num_chain": 2})
+    traces = {
+        "sigma": rng.standard_normal((2, 50)),
+        "constr_calls": np.cumsum(rng.integers(1, 5, (2, 50)), axis=1),
+    }
+    write_traces(out, traces)
+    write_stats(out, {"accept_stat": rng.uniform(size=(2, 50))})
+    summary = diag.summary({"sigma": traces["sigma"]})
+    save_summary(out, summary, 12.5, 0.3, traces, print_summary=False)
+
+    # The reference's glob patterns must find these files.
+    import glob
+
+    assert len(glob.glob(os.path.join(out, "trace_*_sigma.npy"))) == 2
+    assert len(glob.glob(os.path.join(out, "stats_*_accept_stat.npy"))) == 2
+    assert len(glob.glob(os.path.join(out, "trace_*_constr_calls.npy"))) == 2
+    with open(os.path.join(out, "summary.json")) as f:
+        loaded = json.load(f)
+    assert loaded["total_sampling_time"] == 12.5
+    assert loaded["final_integrator_step_size"] == 0.3
+    assert loaded["total_constr_calls"] == int(
+        traces["constr_calls"][:, -1].sum()
+    )
+    with open(os.path.join(out, "args.json")) as f:
+        assert json.load(f)["num_chain"] == 2
+
+
+# ----------------------------- initialisation ------------------------- #
+
+
+def make_fhn_system(rng, noisy=False, num_obs=6, S=3):
+    q_probe = jnp.asarray(rng.standard_normal(4 + 2 + num_obs * S * 2) * 0.4)
+    probe = ConditionedDiffusionConstrainedSystem(
+        obs_interval=0.2,
+        num_steps_per_obs=S,
+        num_obs_per_subseq=2,
+        y_seq=jnp.zeros((num_obs, 1)),
+        dim_u=fhn.dim_z,
+        dim_x=fhn.dim_x,
+        dim_v=fhn.dim_v,
+        forward_func=fhn.forward_func,
+        generate_x_0=fhn.generate_x_0,
+        generate_z=fhn.generate_z,
+        obs_func=fhn.obs_func,
+        dim_v_0=fhn.dim_v_0,
+    )
+    x_obs = probe.generate_x_obs_seq(q_probe)
+    y_seq = fhn.obs_func(x_obs)
+    if noisy:
+        y_seq = y_seq + 0.05 * jnp.asarray(rng.standard_normal(y_seq.shape))
+    return (
+        ConditionedDiffusionConstrainedSystem(
+            obs_interval=0.2,
+            num_steps_per_obs=S,
+            num_obs_per_subseq=2,
+            y_seq=y_seq,
+            dim_u=fhn.dim_z + (1 if noisy else 0),
+            dim_x=fhn.dim_x,
+            dim_v=fhn.dim_v,
+            forward_func=fhn.forward_func,
+            generate_x_0=fhn.generate_x_0,
+            generate_z=fhn.generate_z,
+            obs_func=fhn.obs_func,
+            generate_sigma=fhn.generate_sigma_y if noisy else None,
+            dim_v_0=fhn.dim_v_0,
+        ),
+        y_seq,
+    )
+
+
+def test_linear_interpolation_init(rng):
+    from manifold_mcmc_tpu.init.interpolation import (
+        find_initial_state_by_linear_interpolation,
+    )
+
+    system, y_seq = make_fhn_system(rng)
+    # Observation-consistent targets: y in the observed coordinate, random in
+    # the unobserved one (the reference experiment's generate_x_obs_seq_init).
+    x_obs_target = jnp.concatenate(
+        [y_seq, jnp.asarray(rng.standard_normal(y_seq.shape)) * 0.5], axis=-1
+    )
+    q, x_obs = find_initial_state_by_linear_interpolation(
+        system, jax.random.PRNGKey(0), x_obs_target
+    )
+    assert q.shape == (system.layout.dim_q,)
+    c = system.constr(q, x_obs, 0)
+    assert float(jnp.max(jnp.abs(c))) < 1e-8
+
+    # Batched via vmap for a fleet of chains.
+    keys = jax.random.split(jax.random.PRNGKey(1), 3)
+    qs, x_obss = jax.vmap(
+        lambda k: find_initial_state_by_linear_interpolation(
+            system, k, x_obs_target
+        )
+    )(keys)
+    cs = jax.vmap(lambda q, x: system.constr(q, x, 0))(qs, x_obss)
+    assert float(jnp.max(jnp.abs(cs))) < 1e-8
+    # Distinct prior draws produce distinct states.
+    assert float(jnp.std(qs[:, 0])) > 0
+
+
+def test_gradient_descent_init(rng):
+    from manifold_mcmc_tpu.init.optimization import (
+        find_initial_state_by_gradient_descent,
+    )
+
+    system, y_seq = make_fhn_system(rng)
+
+    def x_obs_init(key):
+        return jnp.concatenate(
+            [y_seq, 0.5 * jax.random.normal(key, y_seq.shape, y_seq.dtype)],
+            axis=-1,
+        )
+
+    q, x_obs = find_initial_state_by_gradient_descent(
+        system, jax.random.PRNGKey(2), x_obs_init, tol=1e-8, max_iters=400
+    )
+    assert float(jnp.max(jnp.abs(system.constr(q, x_obs, 0)))) < 1e-8
+
+
+def test_gradient_descent_noisy_init(rng):
+    from manifold_mcmc_tpu.init.optimization import (
+        find_initial_state_by_gradient_descent_noisy_system,
+    )
+
+    system, _ = make_fhn_system(rng, noisy=True)
+    q, x_obs = find_initial_state_by_gradient_descent_noisy_system(
+        system, jax.random.PRNGKey(3), max_iters=500
+    )
+    c = system.constr(q, x_obs, 0)
+    assert float(jnp.max(jnp.abs(c))) < 1e-8
