@@ -1,0 +1,175 @@
+"""Headline benchmark: FHN noiseless-obs CHMC effective samples per second.
+
+Runs the reference's canonical configuration (T=100 observations at interval
+0.2, S=25 steps/obs, R=5 obs/subsequence, Newton projection solver, dynamic
+multinomial HMC with dual-averaging warm-up -- reference
+``scripts/fhn_model_noiseless_obs_chmc_experiment.py:31-66``) with 1024
+vmapped chains in float32 on one TPU chip, and reports pooled bulk-ESS per
+wall-clock second over the parameters (sigma, eps, gamma, beta).
+
+Baseline: the reference publishes no absolute ESS/sec (BASELINE.md); its
+tau_eff figure axes bound the CPU cost at 0.1-10 s per effective sample for
+the R-grid (4 chains, 1 core).  We take 1.0 effective samples/sec as the CPU
+reference point (the axis midrange, BASELINE.md "tau_eff observed range"),
+so ``vs_baseline`` is the speedup over that estimate.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Env overrides: MMT_BENCH_CHAINS, MMT_BENCH_WARM, MMT_BENCH_MAIN,
+MMT_BENCH_T/S/R, MMT_BENCH_X64.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_default_matmul_precision", "highest")
+_cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+if os.environ.get("MMT_BENCH_X64") == "1":
+    jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def main():
+    from manifold_mcmc_tpu.init.interpolation import (
+        find_initial_state_by_linear_interpolation,
+    )
+    from manifold_mcmc_tpu.models import fhn
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
+    from manifold_mcmc_tpu.systems.constrained import (
+        ConditionedDiffusionConstrainedSystem,
+    )
+    from manifold_mcmc_tpu.utils import stats as diag
+    from manifold_mcmc_tpu.utils.config import default_tolerances
+
+    num_chains = int(os.environ.get("MMT_BENCH_CHAINS", 1024))
+    num_warm = int(os.environ.get("MMT_BENCH_WARM", 64))
+    num_main = int(os.environ.get("MMT_BENCH_MAIN", 128))
+    T = int(os.environ.get("MMT_BENCH_T", 100))
+    S = int(os.environ.get("MMT_BENCH_S", 25))
+    R = int(os.environ.get("MMT_BENCH_R", 5))
+    dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    tols = default_tolerances()
+
+    # --- data generation (reference seed + true parameters) -------------- #
+    rng = np.random.default_rng(20200710)
+    z_true = jnp.array([0.3, 0.1, 1.5, 0.8], dtype)
+    x0_true = jnp.array([-0.5, 0.2], dtype)
+    steps_data = 1000  # fine data grid (reference uses 10000; 1000 suffices)
+    v_data = jnp.asarray(rng.standard_normal((T * steps_data, fhn.dim_v)), dtype)
+    y_seq = fhn.generate_y_seq(z_true, x0_true, v_data, 0.2 / steps_data, steps_data)
+
+    system = ConditionedDiffusionConstrainedSystem(
+        obs_interval=0.2,
+        num_steps_per_obs=S,
+        num_obs_per_subseq=R,
+        y_seq=y_seq,
+        dim_u=fhn.dim_z,
+        dim_x=fhn.dim_x,
+        dim_v=fhn.dim_v,
+        forward_func=fhn.forward_func,
+        generate_x_0=fhn.generate_x_0,
+        generate_z=fhn.generate_z,
+        obs_func=fhn.obs_func,
+        dim_v_0=fhn.dim_v_0,
+    )
+
+    # --- chain initialisation (observation-consistent targets) ----------- #
+    def x_obs_target(key):
+        noise = jax.random.normal(key, y_seq.shape, dtype) * 0.5
+        return jnp.concatenate([y_seq, noise], axis=-1)
+
+    @jax.jit
+    def init_chains(key):
+        keys = jax.random.split(key, num_chains)
+
+        def one(k):
+            k_t, k_q = jax.random.split(k)
+            return find_initial_state_by_linear_interpolation(
+                system, k_q, x_obs_target(k_t)
+            )
+
+        return jax.vmap(one)(keys)
+
+    t0 = time.time()
+    q_init, x_obs_init = init_chains(jax.random.PRNGKey(20200710))
+    jax.block_until_ready(q_init)
+    init_time = time.time() - t0
+
+    def trace_func(q):
+        z = fhn.generate_z(q[: fhn.dim_z])
+        return {"sigma": z[0], "eps": z[1], "gamma": z[2], "beta": z[3]}
+
+    def run(n_warm, n_main, key):
+        return sample_chmc_chains(
+            system,
+            q_init,
+            x_obs_init,
+            key,
+            num_warm_up_iter=n_warm,
+            num_main_iter=n_main,
+            projection_solver="newton",
+            max_tree_depth=10,
+            constraint_tol=tols["constraint_tol"],
+            position_tol=tols["position_tol"],
+            reverse_check_tol=tols["reverse_check_tol"],
+            divergence_tol=tols["divergence_tol"],
+            trace_func=trace_func,
+        )
+
+    # Compile (and warm the persistent cache) on a tiny run, then time.
+    t0 = time.time()
+    _ = run(2, 2, jax.random.PRNGKey(0))
+    jax.block_until_ready(_["final_pos"])
+    compile_time = time.time() - t0
+
+    t0 = time.time()
+    result = run(num_warm, num_main, jax.random.PRNGKey(1))
+    jax.block_until_ready(result["final_pos"])
+    total_time = time.time() - t0
+
+    traces = {k: np.asarray(v) for k, v in result["traces"].items()}
+    stats = result["stats"]
+    n_steps_total = int(np.asarray(stats["n_step"]).sum())
+    accept = float(np.asarray(stats["accept_stat"]).mean())
+    ess = {
+        name: diag.ess_bulk(traces[name])
+        for name in ("sigma", "eps", "gamma", "beta")
+    }
+    min_ess = float(min(ess.values()))
+    ess_per_sec = min_ess / total_time
+    # Effective per-constrained-leapfrog-step latency (all chains pooled).
+    step_latency = total_time / max(n_steps_total, 1)
+
+    baseline_ess_per_sec = 1.0  # documented CPU-reference estimate (BASELINE.md)
+    out = {
+        "metric": "fhn_noiseless_chmc_ess_per_sec",
+        "value": round(ess_per_sec, 3),
+        "unit": "ess/s",
+        "vs_baseline": round(ess_per_sec / baseline_ess_per_sec, 3),
+        "min_param_ess_bulk": round(min_ess, 1),
+        "ess_bulk": {k: round(v, 1) for k, v in ess.items()},
+        "wall_time_s": round(total_time, 2),
+        "compile_time_s": round(compile_time, 1),
+        "init_time_s": round(init_time, 1),
+        "pooled_step_latency_s": float(f"{step_latency:.3e}"),
+        "mean_accept_stat": round(accept, 3),
+        "num_chains": num_chains,
+        "num_warm_up_iter": num_warm,
+        "num_main_iter": num_main,
+        "config": {"T": T, "S": S, "R": R, "dtype": str(dtype.__name__)},
+        "final_step_size": round(float(result["final_step_size"]), 5),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,13 +54,24 @@ def find_initial_state_by_linear_interpolation(
 
         return step_diff(v0), jax.jacobian(step_diff)(v0)
 
+    def least_squares(J, b):
+        # Minimum-norm / least-squares solve without SVD (TPU-friendly):
+        # square -> direct solve; wide full-row-rank -> J^T (J J^T)^-1 b;
+        # tall -> normal equations.
+        m, n = J.shape
+        if m == n:
+            return jnp.linalg.solve(J, b)
+        if m < n:
+            return J.T @ jnp.linalg.solve(J @ J.T, b)
+        return jnp.linalg.solve(J.T @ J, J.T @ b)
+
     def solve_interval(x_start, x_end):
         dx = (x_end - x_start) / S
         x_points = x_start[None] + jnp.arange(S, dtype=dtype)[:, None] * dx[None]
 
         def solve_step(x):
             mean_diff, noise_jac = mean_and_noise_jacobian(x)
-            return jnp.linalg.lstsq(noise_jac, dx - mean_diff)[0]
+            return least_squares(noise_jac, dx - mean_diff)
 
         return jax.vmap(solve_step)(x_points)
 

@@ -64,20 +64,23 @@ def find_reasonable_step_size(integ, metric, point, init_step_size=1.0, max_trie
         return jnp.where(ok & jnp.isfinite(ndh), ndh, -jnp.inf)
 
     eps0 = jnp.asarray(init_step_size, dtype)
-    # direction: +1 (double) while accept prob > 1/2, else -1 (halve)
-    direction = jnp.where(neg_delta_h(eps0) > jnp.log(0.5), 1.0, -1.0).astype(dtype)
+    nd0 = neg_delta_h(eps0)
+    # direction: +1 (double) while accept prob > 1/2, else -1 (halve).
+    direction = jnp.where(nd0 > jnp.log(0.5), 1.0, -1.0).astype(dtype)
 
+    # The expensive step evaluation lives in the loop *body* (the cond only
+    # inspects carried scalars -- a large cond graph miscompiles on some TPU
+    # runtimes and would be evaluated twice per iteration anyway).
     def cond(carry):
-        eps, i = carry
-        return (direction * neg_delta_h(eps) > direction * jnp.log(0.5)) & (
-            i < max_tries
-        )
+        _, nd, i = carry
+        return (direction * nd > direction * jnp.log(0.5)) & (i < max_tries)
 
     def body(carry):
-        eps, i = carry
-        return eps * jnp.exp2(direction), i + 1
+        eps, _, i = carry
+        eps_next = eps * jnp.exp2(direction)
+        return eps_next, neg_delta_h(eps_next), i + 1
 
-    eps, _ = lax.while_loop(cond, body, (eps0, jnp.array(0, jnp.int32)))
+    eps, _, _ = lax.while_loop(cond, body, (eps0, nd0, jnp.array(0, jnp.int32)))
     # One step back for the doubling direction so the final accept prob is
     # on the >1/2 side.
     return jnp.where(direction > 0, eps * 0.5, eps)
@@ -210,11 +213,12 @@ def sample_chmc_chains(
         stack = lambda ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ds)
         return (q, x_obs, step_size, key, counters), (stack(traces), stack(stats_out))
 
+    # The run is staged into three separately jitted programs (step-size
+    # search, warm-up, main) -- smaller XLA programs compile faster, cache
+    # independently, and bound the size any single remote compile must handle.
     @jax.jit
-    def run(init_pos, init_x_obs, keys, init_eps):
+    def stage_init(init_pos, init_x_obs, keys, init_eps):
         def per_chain(q0, x_obs0, chain_key, eps0):
-            counters = _init_counters()
-            # Initial step size search on partition 0.
             integ0 = make_integ(x_obs0, 0)
             k_mom, k_run = _split_keys(chain_key, 2)
             point = integ0.init(q0, jnp.zeros_like(q0), metric)
@@ -222,20 +226,29 @@ def sample_chmc_chains(
                 mom=integ0.sample_momentum(k_mom, point, metric)
             )
             eps = find_reasonable_step_size(integ0, metric, point, eps0)
-            da = ad.dual_averaging_init(eps)
+            return ad.dual_averaging_init(eps), k_run
+
+        return jax.vmap(per_chain)(init_pos, init_x_obs, keys, init_eps)
+
+    @jax.jit
+    def stage_warm_up(init_pos, init_x_obs, da, run_keys):
+        def per_chain(q0, x_obs0, da0, k0):
+            counters = _init_counters()
             n_wu = max(1, math.ceil(num_warm_up_iter / num_partition))
-            (q, x_obs, da, k_run, counters), _ = lax.scan(
-                warm_up_sweep, (q0, x_obs0, da, k_run, counters), None, length=n_wu
+            (q, x_obs, da_f, k, counters), _ = lax.scan(
+                warm_up_sweep, (q0, x_obs0, da0, k0, counters), None, length=n_wu
             )
-            return q, x_obs, da, k_run, counters
+            return q, x_obs, da_f, k, counters
 
         q, x_obs, da, run_keys, counters = jax.vmap(per_chain)(
-            init_pos, init_x_obs, keys, init_eps
+            init_pos, init_x_obs, da, run_keys
         )
         # Cross-chain collective: final adapted step size.
-        step_size = ad.dual_averaging_finalize(da)
+        return q, x_obs, run_keys, counters, ad.dual_averaging_finalize(da)
 
-        def per_chain_main(q0, x_obs0, chain_key, counters):
+    @jax.jit
+    def stage_main(q, x_obs, run_keys, counters, step_size):
+        def per_chain(q0, x_obs0, chain_key, counters):
             n_main = max(1, math.ceil(num_main_iter / num_partition))
             return lax.scan(
                 main_sweep,
@@ -244,15 +257,27 @@ def sample_chmc_chains(
                 length=n_main,
             )
 
-        (q, x_obs, _, _, counters), (traces, stats) = jax.vmap(per_chain_main)(
-            q, x_obs, run_keys, counters
-        )
-        return q, x_obs, counters, step_size, traces, stats
+        return jax.vmap(per_chain)(q, x_obs, run_keys, counters)
 
     keys = _split_keys(key, num_chains)
-    init_eps = jnp.full((num_chains,), 1.0 if init_step_size is None else init_step_size, dtype)
-    q, x_obs, counters, step_size, traces, stats = run(
-        init_pos, init_x_obs_seq, keys, init_eps
+    init_eps = jnp.full(
+        (num_chains,), 1.0 if init_step_size is None else init_step_size, dtype
+    )
+    if num_warm_up_iter > 0:
+        da, run_keys = stage_init(init_pos, init_x_obs_seq, keys, init_eps)
+        q, x_obs, run_keys, counters, step_size = stage_warm_up(
+            init_pos, init_x_obs_seq, da, run_keys
+        )
+    else:
+        # Resume path: skip adaptation entirely and sample at the provided
+        # step size (e.g. restored from a checkpoint).
+        if init_step_size is None:
+            raise ValueError("num_warm_up_iter=0 requires init_step_size")
+        q, x_obs, run_keys = init_pos, init_x_obs_seq, keys
+        counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
+        step_size = jnp.asarray(init_step_size, dtype)
+    (q, x_obs, _, _, counters), (traces, stats) = stage_main(
+        q, x_obs, run_keys, counters, step_size
     )
     # (chains, scan_steps, num_partition, ...) -> (chains, iters, ...)
     flatten = lambda t: jax.tree_util.tree_map(

@@ -1,0 +1,111 @@
+"""SIR epidemic model inference on boarding-school data with CHMC.
+
+TPU-native counterpart of the reference experiment
+(``scripts/sir_model_chmc_experiment.py``): real data (14 daily infected
+counts), noisy-observation constrained system, initialisation by gradient
+descent on the posterior with residual absorption.
+"""
+
+import argparse
+import datetime
+import os
+
+import utils
+
+parser = argparse.ArgumentParser(
+    description="SIR model experiment (boarding school data, CHMC)",
+    formatter_class=argparse.ArgumentDefaultsHelpFormatter,
+)
+utils.add_common_experiment_args(
+    parser,
+    default_num_steps_per_obs=20,
+    default_num_warm_up_iter=500,
+    default_num_main_iter=2500,
+)
+utils.add_chmc_experiment_args(parser, default_num_obs_per_subseq=14)
+utils.add_observation_noise_std_arg(parser, default_val=1.0)
+args = parser.parse_args()
+utils.setup_jax(args)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from manifold_mcmc_tpu.init.optimization import (
+    find_initial_state_by_gradient_descent_noisy_system,
+)
+from manifold_mcmc_tpu.models import sir
+from manifold_mcmc_tpu.systems.constrained import (
+    ConditionedDiffusionConstrainedSystem,
+)
+from manifold_mcmc_tpu.utils.output import (
+    create_output_dir_and_save_args,
+    setup_logger,
+)
+
+infer_sigma_y = args.observation_noise_std < 0
+sigma_y = abs(args.observation_noise_std)
+
+timestamp = datetime.datetime.now().strftime("%Y-%m-%dT%H:%M:%S")
+dir_name = (
+    f"sigma_{args.observation_noise_std}_R_{args.num_obs_per_subseq}_"
+    f"S_{args.num_steps_per_obs}_H_{args.num_inner_h2_step}_"
+    f"{args.splitting}_splitting_{timestamp}"
+)
+output_dir = os.path.join(args.output_root_dir, "sir_chmc", dir_name)
+create_output_dir_and_save_args(output_dir, vars(args))
+logger = setup_logger(output_dir)
+
+dtype = jnp.float64 if args.x64 else jnp.float32
+data = np.load(
+    os.path.join(os.path.dirname(__file__), "data", "sir_model_boarding_school_data.npz")
+)
+obs_interval = float(data["obs_interval"])
+y_seq = jnp.asarray(data["y_seq"], dtype)
+
+dim_u = sir.dim_z + (1 if infer_sigma_y else 0)
+generate_sigma = sir.generate_sigma_y if infer_sigma_y else sigma_y
+
+system = ConditionedDiffusionConstrainedSystem(
+    obs_interval=obs_interval,
+    num_steps_per_obs=args.num_steps_per_obs,
+    num_obs_per_subseq=args.num_obs_per_subseq,
+    y_seq=y_seq,
+    dim_u=dim_u,
+    dim_x=sir.dim_x,
+    dim_v=sir.dim_v,
+    forward_func=sir.forward_func,
+    generate_x_0=sir.generate_x_0,
+    generate_z=sir.generate_z,
+    obs_func=sir.obs_func,
+    generate_sigma=generate_sigma,
+    use_gaussian_splitting=args.splitting == "gaussian",
+    dim_v_0=sir.dim_v_0,
+)
+
+
+def trace_func(q):
+    z = sir.generate_z(q[: sir.dim_z])
+    out = {"β": z[0], "γ": z[1], "ζ": z[2], "ϵ": z[3], "α_0": jnp.exp(q[dim_u])}
+    if infer_sigma_y:
+        out["σ_y"] = sir.generate_sigma_y(q[:dim_u])
+    return out
+
+
+# Initialise each chain by gradient descent + residual absorption.
+q_list, x_obs_list = [], []
+key = jax.random.PRNGKey(args.seed + 1)
+for c in range(args.num_chain):
+    key, k = jax.random.split(key)
+    q_c, x_obs_c = find_initial_state_by_gradient_descent_noisy_system(system, k)
+    c_val = float(jnp.abs(system.constr(q_c, x_obs_c, 0)).max())
+    assert c_val < 1e-4, f"chain {c} init off manifold: |c|={c_val:.2e}"
+    q_list.append(q_c)
+    x_obs_list.append(x_obs_c)
+q_init = jnp.stack(q_list).astype(dtype)
+x_obs_init = jnp.stack(x_obs_list).astype(dtype)
+
+summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
+summary = utils.run_chmc_experiment(
+    args, system, q_init, x_obs_init, trace_func, summary_vars, output_dir
+)

@@ -1,0 +1,308 @@
+"""Shared helpers for the experiment command-line scripts.
+
+TPU-native counterpart of the reference's ``scripts/utils.py``: the same
+argparse surface (common / observation-noise / HMC / CHMC / grid argument
+groups, reference ``scripts/utils.py:25-166, 384-423``) wired to this
+framework's fully on-device samplers instead of the Mici host loop.  Output
+follows the reference's on-disk contract (args.json, info.log,
+trace_*/stats_*.npy, summary.json) so its analysis pipeline applies directly.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+
+def setup_jax(args):
+    """Configure precision/platform.  Unlike the reference (pinned f64 CPU,
+    ``utils.py:19-22``) the default here is the accelerator's native f32;
+    pass ``--x64`` for the double-precision golden path."""
+    jax.config.update("jax_default_matmul_precision", "highest")
+    if args.x64:
+        jax.config.update("jax_enable_x64", True)
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+
+def add_common_experiment_args(
+    parser, default_num_steps_per_obs, default_num_warm_up_iter, default_num_main_iter
+):
+    parser.add_argument(
+        "--output-root-dir",
+        default="experiments",
+        help="Root directory to make experiment output subdirectory in",
+    )
+    parser.add_argument(
+        "--num-steps-per-obs",
+        type=int,
+        default=default_num_steps_per_obs,
+        help="Number of time steps per interobservation interval in inference",
+    )
+    parser.add_argument(
+        "--splitting",
+        choices=("standard", "gaussian"),
+        default="standard",
+        help="Hamiltonian splitting used to define the integrator step",
+    )
+    parser.add_argument(
+        "--num-chain", type=int, default=4, help="Number of independent chains"
+    )
+    parser.add_argument(
+        "--num-warm-up-iter",
+        type=int,
+        default=default_num_warm_up_iter,
+        help="Number of adaptive warm-up iterations",
+    )
+    parser.add_argument(
+        "--num-main-iter",
+        type=int,
+        default=default_num_main_iter,
+        help="Number of main sampling iterations",
+    )
+    parser.add_argument(
+        "--step-size-adaptation-target",
+        type=float,
+        default=0.8,
+        help="Target acceptance statistic for step size adaptation",
+    )
+    parser.add_argument(
+        "--step-size-reg-coefficient",
+        type=float,
+        default=0.1,
+        help="Regularisation coefficient for step size adaptation",
+    )
+    parser.add_argument(
+        "--seed", type=int, default=20200710, help="Random number generator seed"
+    )
+    parser.add_argument(
+        "--x64",
+        action="store_true",
+        help="Run in double precision (CPU golden path; TPU default is f32)",
+    )
+    parser.add_argument(
+        "--platform",
+        default=None,
+        help="Force a JAX platform (e.g. cpu); default uses the environment",
+    )
+
+
+def add_observation_noise_std_arg(parser, default_val=0.1):
+    parser.add_argument(
+        "--observation-noise-std",
+        type=float,
+        default=default_val,
+        help=(
+            "Observation noise standard deviation; a negative value means it "
+            "is inferred, with |value| used to generate the data"
+        ),
+    )
+
+
+def add_hmc_experiment_args(parser):
+    parser.add_argument(
+        "--max-tree-depth",
+        type=int,
+        default=20,
+        help="Maximum binary-tree depth of the dynamic HMC transition",
+    )
+    parser.add_argument(
+        "--metric-type",
+        choices=("identity", "diagonal", "block", "dense"),
+        default="identity",
+        help="Mass-matrix type adapted during warm-up",
+    )
+
+
+def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
+    parser.add_argument(
+        "--num-obs-per-subseq",
+        type=int,
+        default=default_num_obs_per_subseq,
+        help="Average number of observations per blocked subsequence",
+    )
+    parser.add_argument(
+        "--num-inner-h2-step",
+        type=int,
+        default=1,
+        help="Inner h2-flow steps per constrained integrator step",
+    )
+    parser.add_argument(
+        "--projection-solver",
+        choices=("newton", "quasi-newton"),
+        default="newton",
+        help="Iterative solver for the manifold projection",
+    )
+    parser.add_argument(
+        "--projection-solver-max-iters",
+        type=int,
+        default=50,
+        help="Maximum projection solver iterations",
+    )
+    parser.add_argument(
+        "--projection-solver-constraint-tol",
+        type=float,
+        default=None,
+        help="Constraint norm tolerance (default: precision-dependent)",
+    )
+    parser.add_argument(
+        "--projection-solver-position-tol",
+        type=float,
+        default=None,
+        help="Position change tolerance (default: precision-dependent)",
+    )
+    parser.add_argument(
+        "--reverse-check-tol",
+        type=float,
+        default=None,
+        help="Reversibility check tolerance (default: precision-dependent)",
+    )
+    parser.add_argument(
+        "--max-tree-depth",
+        type=int,
+        default=10,
+        help="Maximum binary-tree depth of the dynamic HMC transition",
+    )
+
+
+def add_experiment_grid_args(parser):
+    parser.add_argument(
+        "--default-num-obs-per-subseq",
+        type=int,
+        default=5,
+        help="Default obs per subsequence when not the grid variable",
+    )
+    parser.add_argument(
+        "--default-num-steps-per-obs",
+        type=int,
+        default=25,
+        help="Default steps per obs when not the grid variable",
+    )
+    parser.add_argument(
+        "--default-num-obs",
+        type=int,
+        default=100,
+        help="Default number of observation times when not the grid variable",
+    )
+    parser.add_argument(
+        "--num-obs-per-subseq-grid",
+        type=int,
+        nargs="+",
+        default=[2, 5, 10, 20, 50, 100],
+    )
+    parser.add_argument(
+        "--num-steps-per-obs-grid",
+        type=int,
+        nargs="+",
+        default=[25, 50, 100, 200, 400],
+    )
+    parser.add_argument(
+        "--num-obs-grid", type=int, nargs="+", default=[25, 50, 100, 200, 400]
+    )
+
+
+def resolve_chmc_tolerances(args):
+    from manifold_mcmc_tpu.utils.config import default_tolerances
+
+    tols = default_tolerances()
+    return dict(
+        constraint_tol=args.projection_solver_constraint_tol
+        or tols["constraint_tol"],
+        position_tol=args.projection_solver_position_tol or tols["position_tol"],
+        reverse_check_tol=args.reverse_check_tol or tols["reverse_check_tol"],
+        divergence_tol=tols["divergence_tol"],
+    )
+
+
+def run_chmc_experiment(
+    args, system, q_init, x_obs_init, trace_func, summary_vars, output_dir
+):
+    """Sample CHMC chains, persist the output contract, return the summary."""
+    import numpy as np
+
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
+    from manifold_mcmc_tpu.utils import stats as diag
+    from manifold_mcmc_tpu.utils.output import (
+        save_summary,
+        write_stats,
+        write_traces,
+    )
+
+    tols = resolve_chmc_tolerances(args)
+    start = time.time()
+    result = sample_chmc_chains(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(args.seed),
+        num_warm_up_iter=args.num_warm_up_iter,
+        num_main_iter=args.num_main_iter,
+        projection_solver=args.projection_solver,
+        n_inner_step=args.num_inner_h2_step,
+        max_solver_iters=args.projection_solver_max_iters,
+        max_tree_depth=args.max_tree_depth,
+        adapt_stat_target=args.step_size_adaptation_target,
+        step_size_reg_coefficient=args.step_size_reg_coefficient,
+        trace_func=trace_func,
+        **tols,
+    )
+    jax.block_until_ready(result["final_pos"])
+    sampling_time = time.time() - start
+    traces = {k: np.asarray(v) for k, v in result["traces"].items()}
+    stats = {k: np.asarray(v) for k, v in result["stats"].items()}
+    write_traces(output_dir, traces)
+    write_stats(output_dir, stats)
+    summary = diag.summary(traces, summary_vars)
+    return save_summary(
+        output_dir,
+        summary,
+        sampling_time,
+        float(result["final_step_size"]),
+        traces,
+    )
+
+
+def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_dir):
+    """Sample dynamic-HMC chains, persist the output contract, return summary."""
+    import numpy as np
+
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains
+    from manifold_mcmc_tpu.utils import stats as diag
+    from manifold_mcmc_tpu.utils.output import (
+        save_summary,
+        write_stats,
+        write_traces,
+    )
+
+    start = time.time()
+    result = sample_hmc_chains(
+        system,
+        q_init,
+        jax.random.PRNGKey(args.seed),
+        num_warm_up_iter=args.num_warm_up_iter,
+        num_main_iter=args.num_main_iter,
+        max_tree_depth=args.max_tree_depth,
+        adapt_stat_target=args.step_size_adaptation_target,
+        step_size_reg_coefficient=args.step_size_reg_coefficient,
+        metric_type=args.metric_type,
+        dim_param=getattr(args, "dim_param", None),
+        trace_func=trace_func,
+    )
+    jax.block_until_ready(result["final_pos"])
+    sampling_time = time.time() - start
+    traces = {k: np.asarray(v) for k, v in result["traces"].items()}
+    stats = {k: np.asarray(v) for k, v in result["stats"].items()}
+    write_traces(output_dir, traces)
+    write_stats(output_dir, stats)
+    summary = diag.summary(traces, summary_vars)
+    return save_summary(
+        output_dir,
+        summary,
+        sampling_time,
+        float(result["final_step_size"]),
+        traces,
+    )
