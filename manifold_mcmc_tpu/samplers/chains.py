@@ -142,8 +142,15 @@ def sample_chmc_chains(
     trace_func=None,
     metric=IdentityMetric(),
     init_step_size=None,
+    clear_caches_between_stages=False,
+    find_init_step_size=True,
 ):
     """Sample vmapped CHMC chains for a conditioned diffusion system.
+
+    ``clear_caches_between_stages`` drops each stage's loaded executable
+    before compiling the next: the step-size-search / warm-up / main programs
+    are individually large, and some TPU runtimes fault when several stay
+    resident; with a persistent compilation cache the reload cost is small.
 
     Args:
         init_pos: (num_chains, dim_q) initial constraint-satisfying positions.
@@ -264,10 +271,22 @@ def sample_chmc_chains(
         (num_chains,), 1.0 if init_step_size is None else init_step_size, dtype
     )
     if num_warm_up_iter > 0:
-        da, run_keys = stage_init(init_pos, init_x_obs_seq, keys, init_eps)
+        if find_init_step_size:
+            da, run_keys = stage_init(init_pos, init_x_obs_seq, keys, init_eps)
+        else:
+            # Skip the search program entirely; dual averaging adapts from
+            # the provided initial step size.
+            da = jax.vmap(ad.dual_averaging_init)(init_eps)
+            run_keys = keys
+        if clear_caches_between_stages:
+            jax.block_until_ready((da, run_keys))
+            jax.clear_caches()
         q, x_obs, run_keys, counters, step_size = stage_warm_up(
             init_pos, init_x_obs_seq, da, run_keys
         )
+        if clear_caches_between_stages:
+            jax.block_until_ready((q, x_obs, counters, step_size))
+            jax.clear_caches()
     else:
         # Resume path: skip adaptation entirely and sample at the provided
         # step size (e.g. restored from a checkpoint).

@@ -202,3 +202,52 @@ def test_gradient_descent_noisy_init(rng):
     )
     c = system.constr(q, x_obs, 0)
     assert float(jnp.max(jnp.abs(c))) < 1e-8
+
+
+def test_checkpoint_resume_roundtrip(rng, tmp_path):
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
+    from manifold_mcmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+    system, _ = make_fhn_system(rng)
+    q0 = jnp.asarray(rng.standard_normal(system.layout.dim_q) * 0.4)
+    x0 = system.generate_x_obs_seq(q0)
+    # Build a consistent on-manifold start by regenerating data from q0.
+    y_sim = jnp.asarray(np.asarray(system.model_dict["obs_func"](x0)))
+    sys_on = ConditionedDiffusionConstrainedSystem(
+        obs_interval=0.2,
+        num_steps_per_obs=3,
+        num_obs_per_subseq=2,
+        y_seq=y_sim,
+        dim_u=4,
+        dim_x=2,
+        dim_v=2,
+        forward_func=system.model_dict["forward_func"],
+        generate_x_0=system.model_dict["generate_x_0"],
+        generate_z=system.model_dict["generate_z"],
+        obs_func=system.model_dict["obs_func"],
+        dim_v_0=2,
+    )
+    q_init = jnp.stack([q0, q0])
+    x_init = jax.vmap(sys_on.generate_x_obs_seq)(q_init)
+    result = sample_chmc_chains(
+        sys_on, q_init, x_init, jax.random.PRNGKey(0),
+        num_warm_up_iter=6, num_main_iter=6, max_tree_depth=3,
+    )
+    path = tmp_path / "ckpt.npz"
+    save_checkpoint(path, result, jax.random.PRNGKey(42))
+    ckpt = load_checkpoint(path)
+    np.testing.assert_array_equal(ckpt["final_pos"], np.asarray(result["final_pos"]))
+
+    # Resume: zero warm-up, restored step size and state.
+    resumed = sample_chmc_chains(
+        sys_on,
+        jnp.asarray(ckpt["final_pos"]),
+        jnp.asarray(ckpt["final_x_obs_seq"]),
+        jnp.asarray(ckpt["key"], dtype=jnp.uint32),
+        num_warm_up_iter=0,
+        num_main_iter=4,
+        max_tree_depth=3,
+        init_step_size=float(ckpt["final_step_size"]),
+    )
+    assert resumed["final_pos"].shape == result["final_pos"].shape
+    assert float(resumed["final_step_size"]) == float(ckpt["final_step_size"])
