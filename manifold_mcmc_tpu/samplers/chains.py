@@ -518,3 +518,200 @@ def _update_hmc_counters(counters, stats):
     out["neg_log_dens_calls"] = counters["neg_log_dens_calls"] + n
     out["grad_neg_log_dens_calls"] = counters["grad_neg_log_dens_calls"] + n
     return out
+
+
+def sample_chmc_chains_host_loop(
+    system,
+    init_pos,
+    init_x_obs_seq,
+    key,
+    num_warm_up_iter,
+    num_main_iter,
+    projection_solver="quasi-newton",
+    n_inner_step=1,
+    reverse_check_tol=2e-8,
+    constraint_tol=1e-9,
+    position_tol=1e-8,
+    divergence_tol=1e10,
+    max_solver_iters=50,
+    max_tree_depth=8,
+    max_delta_h=1000.0,
+    adapt_stat_target=0.8,
+    step_size_reg_coefficient=0.05,
+    trace_func=None,
+    metric=IdentityMetric(),
+    init_step_size=0.5,
+    checkpoint_path=None,
+    checkpoint_every=16,
+    progress_every=0,
+):
+    """CHMC driver with a *host-side* sweep loop and crash-durable checkpoints.
+
+    Functionally equivalent to :func:`sample_chmc_chains` (without the
+    in-graph step-size search) but structured for unstable accelerator
+    runtimes: exactly two moderate jitted programs (one warm-up sweep, one
+    main sweep) are compiled and reused, the iteration loop runs on the host
+    (dispatch overhead is negligible against multi-second sweeps at 1024
+    chains), and the complete sampler state is checkpointed to ``.npz`` every
+    ``checkpoint_every`` sweeps so a crashed process resumes exactly where it
+    stopped.
+    """
+    import os as _os
+    import time as _time
+
+    import numpy as onp
+
+    num_chains = init_pos.shape[0]
+    num_partition = system.num_partition
+    dtype = init_pos.dtype
+    trace_func = trace_func if trace_func is not None else lambda q: {}
+
+    solver_cfg = dict(
+        projection_solver=projection_solver,
+        n_inner_step=n_inner_step,
+        reverse_check_tol=reverse_check_tol,
+        constraint_tol=constraint_tol,
+        position_tol=position_tol,
+        divergence_tol=divergence_tol,
+        max_iters=max_solver_iters,
+    )
+
+    def sub_iteration(q, x_obs, partition, key, step_size):
+        integ = make_constrained_integrator(
+            system, x_obs, partition=partition, **solver_cfg
+        )
+        k_mom, k_tree = _split_keys(key, 2)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        pos, mom, stats = dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
+        )
+        return pos, system.generate_x_obs_seq(pos), stats
+
+    @jax.jit
+    def warm_sweep(q, x_obs, da, key):
+        def one(q, x_obs, da, key):
+            key, *sub_keys = _split_keys(key, num_partition + 1)
+            for p in range(num_partition):
+                q, x_obs, stats = sub_iteration(
+                    q, x_obs, p, sub_keys[p], jnp.exp(da.log_step)
+                )
+                da = ad.dual_averaging_update(
+                    da,
+                    stats["accept_stat"],
+                    adapt_stat_target=adapt_stat_target,
+                    reg_coefficient=step_size_reg_coefficient,
+                )
+            return q, x_obs, da, key
+
+        return jax.vmap(one)(q, x_obs, da, key)
+
+    @jax.jit
+    def main_sweep(q, x_obs, step_size, key):
+        def one(q, x_obs, key):
+            key, *sub_keys = _split_keys(key, num_partition + 1)
+            traces, stats_out = [], []
+            for p in range(num_partition):
+                q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
+                traces.append(trace_func(q))
+                stats_out.append(stats)
+            stack = lambda ds: jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *ds
+            )
+            return q, x_obs, key, stack(traces), stack(stats_out)
+
+        return jax.vmap(one, in_axes=(0, 0, 0))(q, x_obs, key)
+
+    n_warm_sweeps = math.ceil(num_warm_up_iter / num_partition)
+    n_main_sweeps = math.ceil(num_main_iter / num_partition)
+
+    # ------------------------- resume / fresh start -------------------- #
+    start_sweep = 0
+    trace_chunks, stats_chunks = [], []
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        with onp.load(checkpoint_path, allow_pickle=True) as ck:
+            start_sweep = int(ck["sweep"])
+            q = jnp.asarray(ck["q"])
+            x_obs = jnp.asarray(ck["x_obs"])
+            keys = jnp.asarray(ck["keys"])
+            da = ad.DualAveragingState(
+                *(jnp.asarray(ck[f"da_{f}"]) for f in ad.DualAveragingState._fields)
+            )
+            step_size = jnp.asarray(ck["step_size"])
+            trace_chunks = list(ck["trace_chunks"]) if "trace_chunks" in ck else []
+            stats_chunks = list(ck["stats_chunks"]) if "stats_chunks" in ck else []
+    else:
+        q, x_obs = init_pos, init_x_obs_seq
+        keys = _split_keys(key, num_chains)
+        da = jax.vmap(ad.dual_averaging_init)(
+            jnp.full((num_chains,), init_step_size, dtype)
+        )
+        step_size = jnp.asarray(init_step_size, dtype)
+
+    def save(sweep):
+        if not checkpoint_path:
+            return
+        payload = {
+            "sweep": sweep,
+            "q": onp.asarray(q),
+            "x_obs": onp.asarray(x_obs),
+            "keys": onp.asarray(keys),
+            "step_size": onp.asarray(step_size),
+            "trace_chunks": onp.asarray(trace_chunks, dtype=object),
+            "stats_chunks": onp.asarray(stats_chunks, dtype=object),
+        }
+        for f in ad.DualAveragingState._fields:
+            payload[f"da_{f}"] = onp.asarray(getattr(da, f))
+        tmp = checkpoint_path + ".tmp.npz"
+        onp.savez(tmp, **payload)
+        _os.replace(tmp, checkpoint_path)
+
+    t_start = _time.time()
+    for sweep in range(min(start_sweep, n_warm_sweeps), n_warm_sweeps):
+        q, x_obs, da, keys = warm_sweep(q, x_obs, da, keys)
+        if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
+            jax.block_until_ready(q)
+            step_size = ad.dual_averaging_finalize(da)
+            save(sweep + 1)
+        if progress_every and (sweep + 1) % progress_every == 0:
+            jax.block_until_ready(q)
+            print(
+                f"[host-loop] warm sweep {sweep + 1}/{n_warm_sweeps} "
+                f"({_time.time() - t_start:.0f}s)",
+                flush=True,
+            )
+    step_size = ad.dual_averaging_finalize(da)
+
+    for sweep in range(max(start_sweep - n_warm_sweeps, 0), n_main_sweeps):
+        q, x_obs, keys, traces, stats = main_sweep(q, x_obs, step_size, keys)
+        trace_chunks.append({k: onp.asarray(v) for k, v in traces.items()})
+        stats_chunks.append({k: onp.asarray(v) for k, v in stats.items()})
+        if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
+            save(n_warm_sweeps + sweep + 1)
+        if progress_every and (sweep + 1) % progress_every == 0:
+            print(
+                f"[host-loop] main sweep {sweep + 1}/{n_main_sweeps} "
+                f"({_time.time() - t_start:.0f}s)",
+                flush=True,
+            )
+
+    def concat_chunks(chunks):
+        # each chunk: dict of (chains, num_partition, ...) arrays for one sweep
+        if not chunks:
+            return {}
+        out = {}
+        for k in chunks[0].keys():
+            per_sweep = [c[k] for c in chunks]  # (chains, parts, ...)
+            stacked = onp.stack(per_sweep, axis=1)  # (chains, sweeps, parts, ...)
+            out[k] = stacked.reshape(
+                (num_chains, -1) + stacked.shape[3:]
+            )
+        return out
+
+    return {
+        "final_pos": q,
+        "final_x_obs_seq": x_obs,
+        "final_step_size": step_size,
+        "traces": concat_chunks(trace_chunks),
+        "stats": concat_chunks(stats_chunks),
+    }
