@@ -63,7 +63,10 @@ def dual_averaging_init(init_step_size):
     return DualAveragingState(
         iter=jnp.zeros_like(init_step_size, dtype=jnp.int32),
         log_step=log_eps,
-        log_step_bar=jnp.zeros_like(log_eps),
+        # Start the smoothed estimate at the initial step size so finalizing
+        # an un-updated state returns ``init_step_size`` (the first update
+        # has weight 1 and overwrites it, so adaptation is unaffected).
+        log_step_bar=log_eps,
         accept_err_sum=jnp.zeros_like(log_eps),
         mu=jnp.log(10.0) + log_eps,
     )

@@ -117,6 +117,72 @@ def _split_keys(key, num):
 
 
 # --------------------------------------------------------------------- #
+# CHMC sweep bodies (shared by both drivers)                             #
+# --------------------------------------------------------------------- #
+
+
+def _chmc_sweep_fns(
+    system,
+    metric,
+    solver_cfg,
+    max_tree_depth,
+    max_delta_h,
+    adapt_stat_target,
+    step_size_reg_coefficient,
+    trace_func,
+):
+    """Build the per-chain warm-up / main sweep bodies.
+
+    One sweep = the ordered transitions {momentum, dynamic integration,
+    switch-partition} applied once per partition (reference
+    ``scripts/utils.py:292-301``).  Both the fully in-graph driver
+    (:func:`sample_chmc_chains`) and the host-loop driver
+    (:func:`sample_chmc_chains_host_loop`) wrap these same bodies, so their
+    sampling semantics cannot drift.
+    """
+    num_partition = system.num_partition
+
+    def sub_iteration(q, x_obs, partition, key, step_size):
+        integ = make_constrained_integrator(
+            system, x_obs, partition=partition, **solver_cfg
+        )
+        k_mom, k_tree = _split_keys(key, 2)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        pos, mom, stats = dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
+        )
+        return pos, system.generate_x_obs_seq(pos), stats
+
+    def warm_sweep_chain(q, x_obs, da, key):
+        key, *sub_keys = _split_keys(key, num_partition + 1)
+        for p in range(num_partition):
+            q, x_obs, stats = sub_iteration(
+                q, x_obs, p, sub_keys[p], jnp.exp(da.log_step)
+            )
+            da = ad.dual_averaging_update(
+                da,
+                stats["accept_stat"],
+                adapt_stat_target=adapt_stat_target,
+                reg_coefficient=step_size_reg_coefficient,
+            )
+        return q, x_obs, da, key
+
+    def main_sweep_chain(q, x_obs, key, step_size, counters):
+        key, *sub_keys = _split_keys(key, num_partition + 1)
+        traces, stats_out = [], []
+        for p in range(num_partition):
+            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
+            counters = _update_counters(counters, stats)
+            traces.append({**trace_func(q), **counters})
+            stats_out.append(stats)
+        stack = lambda ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ds)
+        return q, x_obs, key, counters, stack(traces), stack(stats_out)
+
+    return sub_iteration, warm_sweep_chain, main_sweep_chain
+
+
+# --------------------------------------------------------------------- #
 # CHMC driver                                                            #
 # --------------------------------------------------------------------- #
 
@@ -144,6 +210,7 @@ def sample_chmc_chains(
     init_step_size=None,
     clear_caches_between_stages=False,
     find_init_step_size=True,
+    return_timings=False,
 ):
     """Sample vmapped CHMC chains for a conditioned diffusion system.
 
@@ -151,6 +218,10 @@ def sample_chmc_chains(
     before compiling the next: the step-size-search / warm-up / main programs
     are individually large, and some TPU runtimes fault when several stay
     resident; with a persistent compilation cache the reload cost is small.
+
+    ``return_timings`` compiles each stage ahead-of-time and reports pure
+    device-execution seconds per stage (``timings`` in the result), so
+    benchmarks can separate compile/trace cost from sampling throughput.
 
     Args:
         init_pos: (num_chains, dim_q) initial constraint-satisfying positions.
@@ -161,6 +232,8 @@ def sample_chmc_chains(
     ``(num_chains, num_iters)``), transition statistics, cumulative call
     counters and the adapted step size.
     """
+    import time as _time
+
     num_chains = init_pos.shape[0]
     num_partition = system.num_partition
     dtype = init_pos.dtype
@@ -175,58 +248,35 @@ def sample_chmc_chains(
         divergence_tol=divergence_tol,
         max_iters=max_solver_iters,
     )
-
-    def make_integ(x_obs_seq, partition):
-        return make_constrained_integrator(
-            system, x_obs_seq, partition=partition, **solver_cfg
-        )
-
-    def sub_iteration(q, x_obs, partition, key, step_size):
-        """Transitions {momentum, integration, switch-partition} at one partition."""
-        integ = make_integ(x_obs, partition)
-        k_mom, k_tree = _split_keys(key, 2)
-        point = integ.init(q, jnp.zeros_like(q), metric)
-        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
-        pos, mom, stats = dynamic_multinomial_hmc(
-            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
-        )
-        x_obs_new = system.generate_x_obs_seq(pos)
-        return pos, x_obs_new, stats
+    _, warm_sweep_chain, main_sweep_chain = _chmc_sweep_fns(
+        system,
+        metric,
+        solver_cfg,
+        max_tree_depth,
+        max_delta_h,
+        adapt_stat_target,
+        step_size_reg_coefficient,
+        trace_func,
+    )
 
     def warm_up_sweep(carry, _):
-        q, x_obs, da, key, counters = carry
-        key, *sub_keys = _split_keys(key, num_partition + 1)
-        for p in range(num_partition):
-            step_size = jnp.exp(da.log_step)
-            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
-            da = ad.dual_averaging_update(
-                da,
-                stats["accept_stat"],
-                adapt_stat_target=adapt_stat_target,
-                reg_coefficient=step_size_reg_coefficient,
-            )
-            counters = _update_counters(counters, stats)
-        return (q, x_obs, da, key, counters), None
+        return _chmc_warm_carry(warm_sweep_chain, carry), None
 
     def main_sweep(carry, _):
         q, x_obs, step_size, key, counters = carry
-        key, *sub_keys = _split_keys(key, num_partition + 1)
-        traces, stats_out = [], []
-        for p in range(num_partition):
-            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
-            counters = _update_counters(counters, stats)
-            traces.append({**trace_func(q), **counters})
-            stats_out.append(stats)
-        stack = lambda ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ds)
-        return (q, x_obs, step_size, key, counters), (stack(traces), stack(stats_out))
+        q, x_obs, key, counters, traces, stats = main_sweep_chain(
+            q, x_obs, key, step_size, counters
+        )
+        return (q, x_obs, step_size, key, counters), (traces, stats)
 
     # The run is staged into three separately jitted programs (step-size
     # search, warm-up, main) -- smaller XLA programs compile faster, cache
     # independently, and bound the size any single remote compile must handle.
-    @jax.jit
     def stage_init(init_pos, init_x_obs, keys, init_eps):
         def per_chain(q0, x_obs0, chain_key, eps0):
-            integ0 = make_integ(x_obs0, 0)
+            integ0 = make_constrained_integrator(
+                system, x_obs0, partition=0, **solver_cfg
+            )
             k_mom, k_run = _split_keys(chain_key, 2)
             point = integ0.init(q0, jnp.zeros_like(q0), metric)
             point = point._replace(
@@ -237,34 +287,47 @@ def sample_chmc_chains(
 
         return jax.vmap(per_chain)(init_pos, init_x_obs, keys, init_eps)
 
-    @jax.jit
     def stage_warm_up(init_pos, init_x_obs, da, run_keys):
         def per_chain(q0, x_obs0, da0, k0):
-            counters = _init_counters()
             n_wu = max(1, math.ceil(num_warm_up_iter / num_partition))
-            (q, x_obs, da_f, k, counters), _ = lax.scan(
-                warm_up_sweep, (q0, x_obs0, da0, k0, counters), None, length=n_wu
+            (q, x_obs, da_f, k), _ = lax.scan(
+                warm_up_sweep, (q0, x_obs0, da0, k0), None, length=n_wu
             )
-            return q, x_obs, da_f, k, counters
+            return q, x_obs, da_f, k
 
-        q, x_obs, da, run_keys, counters = jax.vmap(per_chain)(
+        q, x_obs, da, run_keys = jax.vmap(per_chain)(
             init_pos, init_x_obs, da, run_keys
         )
         # Cross-chain collective: final adapted step size.
-        return q, x_obs, run_keys, counters, ad.dual_averaging_finalize(da)
+        return q, x_obs, run_keys, ad.dual_averaging_finalize(da)
 
-    @jax.jit
-    def stage_main(q, x_obs, run_keys, counters, step_size):
-        def per_chain(q0, x_obs0, chain_key, counters):
+    def stage_main(q, x_obs, run_keys, step_size):
+        def per_chain(q0, x_obs0, chain_key):
             n_main = max(1, math.ceil(num_main_iter / num_partition))
             return lax.scan(
                 main_sweep,
-                (q0, x_obs0, step_size, chain_key, counters),
+                (q0, x_obs0, step_size, chain_key, _init_counters()),
                 None,
                 length=n_main,
             )
 
-        return jax.vmap(per_chain)(q, x_obs, run_keys, counters)
+        return jax.vmap(per_chain)(q, x_obs, run_keys)
+
+    timings = {}
+
+    def run_stage(fn, label, *args):
+        """Jit-run a stage; with ``return_timings``, AOT-compile first so the
+        recorded execution time contains no tracing/compilation."""
+        if not return_timings:
+            return jax.jit(fn)(*args)
+        t0 = _time.perf_counter()
+        compiled = jax.jit(fn).lower(*args).compile()
+        timings[f"{label}_compile_s"] = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
+        out = compiled(*args)
+        jax.block_until_ready(out)
+        timings[f"{label}_exec_s"] = _time.perf_counter() - t0
+        return out
 
     keys = _split_keys(key, num_chains)
     init_eps = jnp.full(
@@ -272,7 +335,9 @@ def sample_chmc_chains(
     )
     if num_warm_up_iter > 0:
         if find_init_step_size:
-            da, run_keys = stage_init(init_pos, init_x_obs_seq, keys, init_eps)
+            da, run_keys = run_stage(
+                stage_init, "init", init_pos, init_x_obs_seq, keys, init_eps
+            )
         else:
             # Skip the search program entirely; dual averaging adapts from
             # the provided initial step size.
@@ -281,11 +346,11 @@ def sample_chmc_chains(
         if clear_caches_between_stages:
             jax.block_until_ready((da, run_keys))
             jax.clear_caches()
-        q, x_obs, run_keys, counters, step_size = stage_warm_up(
-            init_pos, init_x_obs_seq, da, run_keys
+        q, x_obs, run_keys, step_size = run_stage(
+            stage_warm_up, "warm_up", init_pos, init_x_obs_seq, da, run_keys
         )
         if clear_caches_between_stages:
-            jax.block_until_ready((q, x_obs, counters, step_size))
+            jax.block_until_ready((q, x_obs, step_size))
             jax.clear_caches()
     else:
         # Resume path: skip adaptation entirely and sample at the provided
@@ -293,10 +358,9 @@ def sample_chmc_chains(
         if init_step_size is None:
             raise ValueError("num_warm_up_iter=0 requires init_step_size")
         q, x_obs, run_keys = init_pos, init_x_obs_seq, keys
-        counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
         step_size = jnp.asarray(init_step_size, dtype)
-    (q, x_obs, _, _, counters), (traces, stats) = stage_main(
-        q, x_obs, run_keys, counters, step_size
+    (q, x_obs, _, _, counters), (traces, stats) = run_stage(
+        stage_main, "main", q, x_obs, run_keys, step_size
     )
     # (chains, scan_steps, num_partition, ...) -> (chains, iters, ...)
     flatten = lambda t: jax.tree_util.tree_map(
@@ -309,7 +373,13 @@ def sample_chmc_chains(
         "call_counters": counters,
         "traces": flatten(traces),
         "stats": flatten(stats),
+        "timings": timings,
     }
+
+
+def _chmc_warm_carry(warm_sweep_chain, carry):
+    q, x_obs, da, key = carry
+    return warm_sweep_chain(q, x_obs, da, key)
 
 
 def _init_counters():
@@ -527,14 +597,14 @@ def sample_chmc_chains_host_loop(
     key,
     num_warm_up_iter,
     num_main_iter,
-    projection_solver="quasi-newton",
+    projection_solver="newton",
     n_inner_step=1,
     reverse_check_tol=2e-8,
     constraint_tol=1e-9,
     position_tol=1e-8,
     divergence_tol=1e10,
     max_solver_iters=50,
-    max_tree_depth=8,
+    max_tree_depth=10,
     max_delta_h=1000.0,
     adapt_stat_target=0.8,
     step_size_reg_coefficient=0.05,
@@ -547,14 +617,19 @@ def sample_chmc_chains_host_loop(
 ):
     """CHMC driver with a *host-side* sweep loop and crash-durable checkpoints.
 
-    Functionally equivalent to :func:`sample_chmc_chains` (without the
-    in-graph step-size search) but structured for unstable accelerator
-    runtimes: exactly two moderate jitted programs (one warm-up sweep, one
-    main sweep) are compiled and reused, the iteration loop runs on the host
-    (dispatch overhead is negligible against multi-second sweeps at 1024
-    chains), and the complete sampler state is checkpointed to ``.npz`` every
-    ``checkpoint_every`` sweeps so a crashed process resumes exactly where it
-    stopped.
+    Wraps the SAME per-chain sweep bodies as :func:`sample_chmc_chains`
+    (:func:`_chmc_sweep_fns`, so the two drivers cannot drift semantically;
+    solver/tree defaults are identical) but is structured for unstable
+    accelerator runtimes: exactly two moderate jitted programs (one warm-up
+    sweep, one main sweep) are compiled and reused, the iteration loop runs
+    on the host (dispatch overhead is negligible against multi-second sweeps
+    at 1024 chains), and the complete sampler state is checkpointed to
+    ``.npz`` every ``checkpoint_every`` sweeps so a crashed process resumes
+    exactly where it stopped.  There is no in-graph step-size search; dual
+    averaging adapts from ``init_step_size``.
+
+    The result includes ``timings``: wall seconds per warm-up / main sweep
+    (first element of each list includes that executable's compile).
     """
     import os as _os
     import time as _time
@@ -575,52 +650,27 @@ def sample_chmc_chains_host_loop(
         divergence_tol=divergence_tol,
         max_iters=max_solver_iters,
     )
-
-    def sub_iteration(q, x_obs, partition, key, step_size):
-        integ = make_constrained_integrator(
-            system, x_obs, partition=partition, **solver_cfg
-        )
-        k_mom, k_tree = _split_keys(key, 2)
-        point = integ.init(q, jnp.zeros_like(q), metric)
-        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
-        pos, mom, stats = dynamic_multinomial_hmc(
-            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
-        )
-        return pos, system.generate_x_obs_seq(pos), stats
+    _, warm_sweep_chain, main_sweep_chain = _chmc_sweep_fns(
+        system,
+        metric,
+        solver_cfg,
+        max_tree_depth,
+        max_delta_h,
+        adapt_stat_target,
+        step_size_reg_coefficient,
+        trace_func,
+    )
 
     @jax.jit
     def warm_sweep(q, x_obs, da, key):
-        def one(q, x_obs, da, key):
-            key, *sub_keys = _split_keys(key, num_partition + 1)
-            for p in range(num_partition):
-                q, x_obs, stats = sub_iteration(
-                    q, x_obs, p, sub_keys[p], jnp.exp(da.log_step)
-                )
-                da = ad.dual_averaging_update(
-                    da,
-                    stats["accept_stat"],
-                    adapt_stat_target=adapt_stat_target,
-                    reg_coefficient=step_size_reg_coefficient,
-                )
-            return q, x_obs, da, key
-
-        return jax.vmap(one)(q, x_obs, da, key)
+        return jax.vmap(warm_sweep_chain)(q, x_obs, da, key)
 
     @jax.jit
-    def main_sweep(q, x_obs, step_size, key):
-        def one(q, x_obs, key):
-            key, *sub_keys = _split_keys(key, num_partition + 1)
-            traces, stats_out = [], []
-            for p in range(num_partition):
-                q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
-                traces.append(trace_func(q))
-                stats_out.append(stats)
-            stack = lambda ds: jax.tree_util.tree_map(
-                lambda *xs: jnp.stack(xs), *ds
-            )
-            return q, x_obs, key, stack(traces), stack(stats_out)
+    def main_sweep(q, x_obs, step_size, key, counters):
+        def one(q, x_obs, key, counters):
+            return main_sweep_chain(q, x_obs, key, step_size, counters)
 
-        return jax.vmap(one, in_axes=(0, 0, 0))(q, x_obs, key)
+        return jax.vmap(one)(q, x_obs, key, counters)
 
     n_warm_sweeps = math.ceil(num_warm_up_iter / num_partition)
     n_main_sweeps = math.ceil(num_main_iter / num_partition)
@@ -628,6 +678,7 @@ def sample_chmc_chains_host_loop(
     # ------------------------- resume / fresh start -------------------- #
     start_sweep = 0
     trace_chunks, stats_chunks = [], []
+    counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
     if checkpoint_path and _os.path.exists(checkpoint_path):
         with onp.load(checkpoint_path, allow_pickle=True) as ck:
             start_sweep = int(ck["sweep"])
@@ -640,6 +691,10 @@ def sample_chmc_chains_host_loop(
             step_size = jnp.asarray(ck["step_size"])
             trace_chunks = list(ck["trace_chunks"]) if "trace_chunks" in ck else []
             stats_chunks = list(ck["stats_chunks"]) if "stats_chunks" in ck else []
+            counters = {
+                k: jnp.asarray(ck[f"counter_{k}"]) if f"counter_{k}" in ck else v
+                for k, v in counters.items()
+            }
     else:
         q, x_obs = init_pos, init_x_obs_seq
         keys = _split_keys(key, num_chains)
@@ -662,19 +717,23 @@ def sample_chmc_chains_host_loop(
         }
         for f in ad.DualAveragingState._fields:
             payload[f"da_{f}"] = onp.asarray(getattr(da, f))
+        for k, v in counters.items():
+            payload[f"counter_{k}"] = onp.asarray(v)
         tmp = checkpoint_path + ".tmp.npz"
         onp.savez(tmp, **payload)
         _os.replace(tmp, checkpoint_path)
 
+    warm_times, main_times = [], []
     t_start = _time.time()
     for sweep in range(min(start_sweep, n_warm_sweeps), n_warm_sweeps):
+        t0 = _time.time()
         q, x_obs, da, keys = warm_sweep(q, x_obs, da, keys)
+        jax.block_until_ready(q)
+        warm_times.append(_time.time() - t0)
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
-            jax.block_until_ready(q)
             step_size = ad.dual_averaging_finalize(da)
             save(sweep + 1)
         if progress_every and (sweep + 1) % progress_every == 0:
-            jax.block_until_ready(q)
             print(
                 f"[host-loop] warm sweep {sweep + 1}/{n_warm_sweeps} "
                 f"({_time.time() - t_start:.0f}s)",
@@ -683,9 +742,13 @@ def sample_chmc_chains_host_loop(
     step_size = ad.dual_averaging_finalize(da)
 
     for sweep in range(max(start_sweep - n_warm_sweeps, 0), n_main_sweeps):
-        q, x_obs, keys, traces, stats = main_sweep(q, x_obs, step_size, keys)
+        t0 = _time.time()
+        q, x_obs, keys, counters, traces, stats = main_sweep(
+            q, x_obs, step_size, keys, counters
+        )
         trace_chunks.append({k: onp.asarray(v) for k, v in traces.items()})
         stats_chunks.append({k: onp.asarray(v) for k, v in stats.items()})
+        main_times.append(_time.time() - t0)
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
             save(n_warm_sweeps + sweep + 1)
         if progress_every and (sweep + 1) % progress_every == 0:
@@ -712,6 +775,8 @@ def sample_chmc_chains_host_loop(
         "final_pos": q,
         "final_x_obs_seq": x_obs,
         "final_step_size": step_size,
+        "call_counters": counters,
         "traces": concat_chunks(trace_chunks),
         "stats": concat_chunks(stats_chunks),
+        "timings": {"warm_sweep_s": warm_times, "main_sweep_s": main_times},
     }

@@ -164,6 +164,67 @@ def test_hmc_gaussian_moments(metric_type):
     assert float(result["final_step_size"]) > 0
 
 
+def test_dual_averaging_finalize_unupdated():
+    """With zero updates, finalize must return the initial step size (the
+    host-loop resume path relies on this)."""
+    from manifold_mcmc_tpu.samplers import adapters as ad
+
+    da = jax.vmap(ad.dual_averaging_init)(jnp.full((3,), 0.37))
+    assert np.isclose(float(ad.dual_averaging_finalize(da)), 0.37)
+
+
+def test_host_loop_matches_ingraph_driver(rng):
+    """The host-loop and in-graph CHMC drivers wrap the same sweep bodies
+    with the same key-splitting, so given identical inputs (and no in-graph
+    step-size search) they must produce identical chains."""
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains_host_loop
+
+    num_obs = 4
+    y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    _, _, q_star = analytic_conditional(y_seq)
+    num_chains = 3
+    q_init = jnp.broadcast_to(jnp.asarray(q_star), (num_chains, len(q_star))) + 0.0
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+
+    kwargs = dict(
+        num_warm_up_iter=6,
+        num_main_iter=8,
+        max_tree_depth=3,
+        init_step_size=0.4,
+        trace_func=lambda q: {"pos_head": q[:2]},
+    )
+    r_graph = sample_chmc_chains(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(7),
+        find_init_step_size=False,
+        **kwargs,
+    )
+    r_host = sample_chmc_chains_host_loop(
+        system, q_init, x_obs_init, jax.random.PRNGKey(7), **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_graph["final_pos"]), np.asarray(r_host["final_pos"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_graph["traces"]["pos_head"]),
+        np.asarray(r_host["traces"]["pos_head"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(r_graph["final_step_size"]), float(r_host["final_step_size"]),
+        rtol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_graph["stats"]["n_step"]), np.asarray(r_host["stats"]["n_step"])
+    )
+    # Host loop reports per-sweep timings.
+    assert len(r_host["timings"]["main_sweep_s"]) == 4
+
+
 def test_stan_windows_partition():
     init, slow, term = stan_windows(1000)
     assert init == 75 and term == 50
