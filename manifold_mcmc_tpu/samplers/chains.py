@@ -444,13 +444,26 @@ def sample_hmc_chains(
     dim_param=None,
     trace_func=None,
     init_step_size=None,
+    find_init_step_size=True,
+    clear_caches_between_stages=False,
+    return_timings=False,
 ):
     """Sample vmapped dynamic-HMC chains for a Euclidean system.
 
     ``metric_type`` in {"identity", "diagonal", "dense", "block"}; adaptive
     metrics use Stan-style slow windows with cross-chain Welford merges
     (``dim_param`` sets the block size for "block").
+
+    Like :func:`sample_chmc_chains`, the run is staged into separately
+    jitted programs (step-size search, each warm-up window, main) so no
+    single XLA program grows with the warm-up schedule;
+    ``clear_caches_between_stages`` additionally drops each stage's loaded
+    executable before the next compiles (for accelerator runtimes that fault
+    under resident-executable pressure), and ``return_timings`` AOT-compiles
+    stages to report pure execution seconds.
     """
+    import time as _time
+
     num_chains, dim_q = init_pos.shape
     dtype = init_pos.dtype
     trace_func = trace_func if trace_func is not None else lambda q: {}
@@ -516,8 +529,26 @@ def sample_hmc_chains(
             return ad.finalize_covariance_metric(wf_merged)
         return ad.finalize_block_diagonal_metric(wf_merged)
 
-    @jax.jit
-    def run(init_pos, keys, init_eps):
+    timings = {}
+
+    def run_stage(fn, label, *args):
+        if not return_timings:
+            out = jax.jit(fn)(*args)
+        else:
+            t0 = _time.perf_counter()
+            compiled = jax.jit(fn).lower(*args).compile()
+            timings[f"{label}_compile_s"] = _time.perf_counter() - t0
+            t0 = _time.perf_counter()
+            out = compiled(*args)
+            jax.block_until_ready(out)
+            timings[f"{label}_exec_s"] = _time.perf_counter() - t0
+        if clear_caches_between_stages:
+            jax.block_until_ready(out)
+            jax.clear_caches()
+        return out
+
+    # Stage 1: per-chain step-size search (own program; optional).
+    def stage_init(init_pos, keys, init_eps):
         metric = IdentityMetric()
 
         def init_chain(q0, chain_key, eps0):
@@ -527,57 +558,75 @@ def sample_hmc_chains(
             eps = find_reasonable_step_size(integ, metric, point, eps0)
             return ad.dual_averaging_init(eps), k_run
 
-        da, run_keys = jax.vmap(init_chain)(init_pos, keys, init_eps)
-        q = init_pos
-        wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
+        return jax.vmap(init_chain)(init_pos, keys, init_eps)
 
-        def scan_stage(q, da, wf, run_keys, metric, length, collect):
-            if length == 0:
-                return q, da, wf, run_keys
+    # Stage 2..k: one program per warm-up window (scan inside).
+    def make_warm_stage(length, collect):
+        def stage(q, da, wf, run_keys, metric):
             sweep = warm_up_sweep(metric, collect)
-            q, da, wf, run_keys = jax.vmap(
+            return jax.vmap(
                 lambda q0, da0, wf0, k0: lax.scan(
                     sweep, (q0, da0, wf0, k0), None, length=length
                 )[0]
             )(q, da, wf, run_keys)
-            return q, da, wf, run_keys
 
-        # Initial fast stage (dual averaging only).
-        q, da, wf, run_keys = scan_stage(
-            q, da, wf, run_keys, metric, init_buffer, False
-        )
-        # Slow windows: collect Welford stats, re-estimate metric at each end.
-        for w in slow_windows:
-            wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
-            q, da, wf, run_keys = scan_stage(q, da, wf, run_keys, metric, w, True)
-            metric = finalize_metric(ad.welford_merge_chains(wf))
-            # Re-centre dual averaging on the current smoothed step size.
-            da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(da)
-        # Terminal fast stage.
-        q, da, wf, run_keys = scan_stage(
-            q, da, wf, run_keys, metric, term_buffer, False
-        )
+        return stage
 
-        step_size = ad.dual_averaging_finalize(da)
-        counters = _init_counters()
+    # Final stage: main sampling (own program).
+    def stage_main(q, run_keys, metric, step_size):
         sweep = main_sweep(metric, step_size)
-        (q, _, counters), (traces, stats) = jax.vmap(
+        return jax.vmap(
             lambda q0, k0: lax.scan(
                 sweep, (q0, k0, _init_counters()), None, length=num_main_iter
             )
         )(q, run_keys)
-        return q, step_size, traces, stats
 
     keys = _split_keys(key, num_chains)
     init_eps = jnp.full(
         (num_chains,), 1.0 if init_step_size is None else init_step_size, dtype
     )
-    q, step_size, traces, stats = run(init_pos, keys, init_eps)
+    metric = IdentityMetric()
+    if find_init_step_size and num_warm_up_iter > 0:
+        da, run_keys = run_stage(stage_init, "init", init_pos, keys, init_eps)
+    else:
+        da = jax.vmap(ad.dual_averaging_init)(init_eps)
+        run_keys = keys
+    q = init_pos
+    wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
+
+    if init_buffer > 0:
+        q, da, wf, run_keys = run_stage(
+            make_warm_stage(init_buffer, False),
+            "warm_fast0",
+            q, da, wf, run_keys, metric,
+        )
+    for i, w in enumerate(slow_windows):
+        wf = jax.vmap(lambda _: fresh_welford())(jnp.arange(num_chains))
+        q, da, wf, run_keys = run_stage(
+            make_warm_stage(w, True), f"warm_slow{i}", q, da, wf, run_keys, metric
+        )
+        metric = finalize_metric(ad.welford_merge_chains(wf))
+        # Re-centre dual averaging on the current smoothed step size.
+        da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(da)
+    if term_buffer > 0:
+        q, da, wf, run_keys = run_stage(
+            make_warm_stage(term_buffer, False),
+            "warm_fast1",
+            q, da, wf, run_keys, metric,
+        )
+
+    step_size = ad.dual_averaging_finalize(da)
+    (q, _, counters), (traces, stats) = run_stage(
+        stage_main, "main", q, run_keys, metric, step_size
+    )
     return {
         "final_pos": q,
         "final_step_size": step_size,
+        "final_metric": metric,
+        "call_counters": counters,
         "traces": traces,
         "stats": stats,
+        "timings": timings,
     }
 
 
