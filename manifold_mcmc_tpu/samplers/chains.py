@@ -154,32 +154,49 @@ def _chmc_sweep_fns(
         )
         return pos, system.generate_x_obs_seq(pos), stats
 
+    def warm_sub_iteration(q, x_obs, da, sub_key, p):
+        """One warm-up sub-iteration at partition ``p`` + dual-averaging update."""
+        q, x_obs, stats = sub_iteration(q, x_obs, p, sub_key, jnp.exp(da.log_step))
+        da = ad.dual_averaging_update(
+            da,
+            stats["accept_stat"],
+            adapt_stat_target=adapt_stat_target,
+            reg_coefficient=step_size_reg_coefficient,
+        )
+        return q, x_obs, da
+
+    def main_sub_iteration(q, x_obs, counters, sub_key, step_size, p):
+        """One main sub-iteration at partition ``p`` + counter/trace update."""
+        q, x_obs, stats = sub_iteration(q, x_obs, p, sub_key, step_size)
+        counters = _update_counters(counters, stats)
+        return q, x_obs, counters, {**trace_func(q), **counters}, stats
+
     def warm_sweep_chain(q, x_obs, da, key):
         key, *sub_keys = _split_keys(key, num_partition + 1)
         for p in range(num_partition):
-            q, x_obs, stats = sub_iteration(
-                q, x_obs, p, sub_keys[p], jnp.exp(da.log_step)
-            )
-            da = ad.dual_averaging_update(
-                da,
-                stats["accept_stat"],
-                adapt_stat_target=adapt_stat_target,
-                reg_coefficient=step_size_reg_coefficient,
-            )
+            q, x_obs, da = warm_sub_iteration(q, x_obs, da, sub_keys[p], p)
         return q, x_obs, da, key
 
     def main_sweep_chain(q, x_obs, key, step_size, counters):
         key, *sub_keys = _split_keys(key, num_partition + 1)
         traces, stats_out = [], []
         for p in range(num_partition):
-            q, x_obs, stats = sub_iteration(q, x_obs, p, sub_keys[p], step_size)
-            counters = _update_counters(counters, stats)
-            traces.append({**trace_func(q), **counters})
+            q, x_obs, counters, tr, stats = main_sub_iteration(
+                q, x_obs, counters, sub_keys[p], step_size, p
+            )
+            traces.append(tr)
             stats_out.append(stats)
         stack = lambda ds: jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *ds)
         return q, x_obs, key, counters, stack(traces), stack(stats_out)
 
-    return sub_iteration, warm_sweep_chain, main_sweep_chain
+    fns = {
+        "sub_iteration": sub_iteration,
+        "warm_sub_iteration": warm_sub_iteration,
+        "main_sub_iteration": main_sub_iteration,
+        "warm_sweep_chain": warm_sweep_chain,
+        "main_sweep_chain": main_sweep_chain,
+    }
+    return fns
 
 
 # --------------------------------------------------------------------- #
@@ -248,7 +265,7 @@ def sample_chmc_chains(
         divergence_tol=divergence_tol,
         max_iters=max_solver_iters,
     )
-    _, warm_sweep_chain, main_sweep_chain = _chmc_sweep_fns(
+    fns = _chmc_sweep_fns(
         system,
         metric,
         solver_cfg,
@@ -258,6 +275,8 @@ def sample_chmc_chains(
         step_size_reg_coefficient,
         trace_func,
     )
+    warm_sweep_chain = fns["warm_sweep_chain"]
+    main_sweep_chain = fns["main_sweep_chain"]
 
     def warm_up_sweep(carry, _):
         return _chmc_warm_carry(warm_sweep_chain, carry), None
@@ -669,13 +688,16 @@ def sample_chmc_chains_host_loop(
     Wraps the SAME per-chain sweep bodies as :func:`sample_chmc_chains`
     (:func:`_chmc_sweep_fns`, so the two drivers cannot drift semantically;
     solver/tree defaults are identical) but is structured for unstable
-    accelerator runtimes: exactly two moderate jitted programs (one warm-up
-    sweep, one main sweep) are compiled and reused, the iteration loop runs
-    on the host (dispatch overhead is negligible against multi-second sweeps
-    at 1024 chains), and the complete sampler state is checkpointed to
-    ``.npz`` every ``checkpoint_every`` sweeps so a crashed process resumes
-    exactly where it stopped.  There is no in-graph step-size search; dual
-    averaging adapts from ``init_step_size``.
+    accelerator runtimes: one small jitted program per (phase, partition)
+    sub-iteration is compiled and reused, so each device dispatch is bounded
+    in executable size AND execution duration (this tunnelled TPU runtime
+    kills device executions beyond a few tens of seconds); the iteration
+    loop runs on the host (dispatch overhead is negligible against
+    multi-second sub-iterations at hundreds of chains), and the complete
+    sampler state is checkpointed to ``.npz`` every ``checkpoint_every``
+    sweeps so a crashed process resumes exactly where it stopped.  There is
+    no in-graph step-size search; dual averaging adapts from
+    ``init_step_size``.
 
     The result includes ``timings``: wall seconds per warm-up / main sweep
     (first element of each list includes that executable's compile).
@@ -699,7 +721,7 @@ def sample_chmc_chains_host_loop(
         divergence_tol=divergence_tol,
         max_iters=max_solver_iters,
     )
-    _, warm_sweep_chain, main_sweep_chain = _chmc_sweep_fns(
+    fns = _chmc_sweep_fns(
         system,
         metric,
         solver_cfg,
@@ -709,17 +731,65 @@ def sample_chmc_chains_host_loop(
         step_size_reg_coefficient,
         trace_func,
     )
+    warm_sub_iteration = fns["warm_sub_iteration"]
+    main_sub_iteration = fns["main_sub_iteration"]
+
+    # One jitted program per (phase, partition) sub-iteration rather than one
+    # per sweep: each dispatch is 1/num_partition the duration and executable
+    # size, which keeps runs under accelerator-runtime watchdog limits (this
+    # tunnelled TPU runtime kills device executions beyond a few tens of
+    # seconds -- see .claude/skills/verify/SKILL.md).  The RNG key schedule
+    # (one split into num_partition+1 subkeys per sweep, matching
+    # _chmc_sweep_fns) is preserved exactly, so results remain identical to
+    # the in-graph driver.
 
     @jax.jit
-    def warm_sweep(q, x_obs, da, key):
-        return jax.vmap(warm_sweep_chain)(q, x_obs, da, key)
+    def split_sweep_keys(keys):
+        all_keys = jax.vmap(lambda k: _split_keys(k, num_partition + 1))(keys)
+        return all_keys[:, 0], all_keys[:, 1:]
 
-    @jax.jit
-    def main_sweep(q, x_obs, step_size, key, counters):
-        def one(q, x_obs, key, counters):
-            return main_sweep_chain(q, x_obs, key, step_size, counters)
+    def make_warm_sub(p):
+        def fn(q, x_obs, da, sub_key):
+            return jax.vmap(
+                lambda q, x_obs, da, k: warm_sub_iteration(q, x_obs, da, k, p)
+            )(q, x_obs, da, sub_key)
 
-        return jax.vmap(one)(q, x_obs, key, counters)
+        return jax.jit(fn)
+
+    def make_main_sub(p):
+        def fn(q, x_obs, step_size, sub_key, counters):
+            return jax.vmap(
+                lambda q, x_obs, k, c: main_sub_iteration(
+                    q, x_obs, c, k, step_size, p
+                )
+            )(q, x_obs, sub_key, counters)
+
+        return jax.jit(fn)
+
+    warm_subs = [make_warm_sub(p) for p in range(num_partition)]
+    main_subs = [make_main_sub(p) for p in range(num_partition)]
+
+    def warm_sweep(q, x_obs, da, keys):
+        keys, sub_keys = split_sweep_keys(keys)
+        for p in range(num_partition):
+            q, x_obs, da = warm_subs[p](q, x_obs, da, sub_keys[:, p])
+        return q, x_obs, da, keys
+
+    def main_sweep(q, x_obs, step_size, keys, counters):
+        keys, sub_keys = split_sweep_keys(keys)
+        traces, stats_out = [], []
+        for p in range(num_partition):
+            q, x_obs, counters, tr, st = main_subs[p](
+                q, x_obs, step_size, sub_keys[:, p], counters
+            )
+            traces.append(tr)
+            stats_out.append(st)
+        # Stack the partition axis *after* the chain axis to match the
+        # in-graph driver's (chains, partitions, ...) sweep layout.
+        stack = lambda ds: jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs, axis=1), *ds
+        )
+        return q, x_obs, keys, counters, stack(traces), stack(stats_out)
 
     n_warm_sweeps = math.ceil(num_warm_up_iter / num_partition)
     n_main_sweeps = math.ceil(num_main_iter / num_partition)

@@ -230,6 +230,7 @@ def test_lu_jacob_product_matches_dense(rng, noisy):
     )
 
 
+@pytest.mark.slow
 def test_grad_log_det_sqrt_gram_matches_dense_ad(rng):
     system = make_system()
     q, x_obs_seq = random_point(system, rng)

@@ -69,6 +69,7 @@ def test_summary_layout(rng):
 # ------------------------------- output ------------------------------- #
 
 
+@pytest.mark.slow
 def test_output_contract(tmp_path, rng):
     out = str(tmp_path / "exp")
     create_output_dir_and_save_args(out, {"seed": 1, "num_chain": 2})
@@ -141,6 +142,7 @@ def make_fhn_system(rng, noisy=False, num_obs=6, S=3):
     )
 
 
+@pytest.mark.slow
 def test_linear_interpolation_init(rng):
     from manifold_mcmc_tpu.init.interpolation import (
         find_initial_state_by_linear_interpolation,
@@ -172,6 +174,7 @@ def test_linear_interpolation_init(rng):
     assert float(jnp.std(qs[:, 0])) > 0
 
 
+@pytest.mark.slow
 def test_gradient_descent_init(rng):
     from manifold_mcmc_tpu.init.optimization import (
         find_initial_state_by_gradient_descent,
@@ -204,6 +207,7 @@ def test_gradient_descent_noisy_init(rng):
     assert float(jnp.max(jnp.abs(c))) < 1e-8
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_roundtrip(rng, tmp_path):
     from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
     from manifold_mcmc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint

@@ -116,6 +116,7 @@ def make_chmc_setup(rng, use_gaussian_splitting=False, num_obs_per_subseq=2):
 
 @pytest.mark.parametrize("solver", ["newton", "quasi-newton"])
 @pytest.mark.parametrize("gaussian", [False, True])
+@pytest.mark.slow
 def test_constrained_step_preserves_manifold_and_reverses(rng, solver, gaussian):
     system, q0, x_obs_seq = make_chmc_setup(rng, use_gaussian_splitting=gaussian)
     metric = IdentityMetric()
@@ -160,6 +161,7 @@ def test_constrained_step_preserves_manifold_and_reverses(rng, solver, gaussian)
     np.testing.assert_allclose(back.mom, -mom, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_constrained_step_flags_failures(rng):
     system, q0, x_obs_seq = make_chmc_setup(rng)
     metric = IdentityMetric()
@@ -183,6 +185,7 @@ def test_constrained_step_flags_failures(rng):
     assert not bool(ok2)
 
 
+@pytest.mark.slow
 def test_constrained_step_partition_1(rng):
     system, q0, x_obs_seq = make_chmc_setup(rng)
     metric = IdentityMetric()

@@ -23,6 +23,7 @@ def test_mesh_and_sharding_helpers():
         shard_chain_inputs(mesh, jnp.zeros((5, 3)))
 
 
+@pytest.mark.slow
 def test_sharded_chmc_matches_single_device(rng):
     # The jitted sampler must partition over the chain mesh under GSPMD and
     # produce bitwise-identical results to the unsharded run (pure data

@@ -85,6 +85,7 @@ def analytic_conditional(y_seq):
 
 
 @pytest.mark.parametrize("blocking", [None, 2])
+@pytest.mark.slow
 def test_chmc_matches_analytic_gaussian_manifold(rng, blocking):
     num_obs = 4
     y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.7)
@@ -141,6 +142,7 @@ def banana_free_nld(q):
 
 
 @pytest.mark.parametrize("metric_type", ["identity", "diagonal"])
+@pytest.mark.slow
 def test_hmc_gaussian_moments(metric_type):
     system = EuclideanSystem(banana_free_nld)
     num_chains, dim = 8, 4
@@ -173,6 +175,7 @@ def test_dual_averaging_finalize_unupdated():
     assert np.isclose(float(ad.dual_averaging_finalize(da)), 0.37)
 
 
+@pytest.mark.slow
 def test_host_loop_matches_ingraph_driver(rng):
     """The host-loop and in-graph CHMC drivers wrap the same sweep bodies
     with the same key-splitting, so given identical inputs (and no in-graph
@@ -235,6 +238,7 @@ def test_stan_windows_partition():
     assert init + sum(slow) + term == 60
 
 
+@pytest.mark.slow
 def test_chmc_traces_and_counters(rng):
     from manifold_mcmc_tpu.models import fhn
 
