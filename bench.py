@@ -182,9 +182,13 @@ def main():
 
     solver = os.environ.get("MMT_BENCH_SOLVER", "quasi-newton")
     max_tree_depth = int(os.environ.get("MMT_BENCH_MAX_TREE_DEPTH", 8))
+    # The checkpoint key must pin the FULL run configuration: resuming a
+    # checkpoint from a different rung (or an older code version) would
+    # silently skip sweeps or load an incompatible trace layout.
     ckpt = os.environ.get(
         "MMT_BENCH_CKPT",
-        f"/tmp/mmt_bench_warm_{num_chains}_{T}_{S}_{R}_{driver}.npz",
+        f"/tmp/mmt_bench_v2_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
+        f"_d{max_tree_depth}_w{num_warm}_m{num_main}.npz",
     )
 
     common = dict(
@@ -312,6 +316,9 @@ def main():
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(out))
+    # A completed measurement's checkpoint must not leak into future runs.
+    if ckpt and os.path.exists(ckpt):
+        os.remove(ckpt)
 
 
 def _attempt(env, timeout_s):

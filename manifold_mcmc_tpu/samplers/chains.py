@@ -401,6 +401,19 @@ def _chmc_warm_carry(warm_sweep_chain, carry):
     return warm_sweep_chain(q, x_obs, da, key)
 
 
+def _concat_sweep_chunks(chunks):
+    """Merge per-key chunks of shape (chains, k_i, partitions, ...) along the
+    sweep axis into one plain array per key (no object arrays anywhere)."""
+    import numpy as onp
+
+    if not chunks:
+        return {}
+    return {
+        k: onp.concatenate([c[k] for c in chunks], axis=1)
+        for k in chunks[0].keys()
+    }
+
+
 def _init_counters():
     z = jnp.array(0, jnp.int64) if jax.config.jax_enable_x64 else jnp.array(0, jnp.int32)
     return {
@@ -808,8 +821,17 @@ def sample_chmc_chains_host_loop(
                 *(jnp.asarray(ck[f"da_{f}"]) for f in ad.DualAveragingState._fields)
             )
             step_size = jnp.asarray(ck["step_size"])
-            trace_chunks = list(ck["trace_chunks"]) if "trace_chunks" in ck else []
-            stats_chunks = list(ck["stats_chunks"]) if "stats_chunks" in ck else []
+            # Accumulated main-phase output is stored per key as one plain
+            # (chains, sweeps_so_far, partitions, ...) array -- no pickled
+            # object arrays in the checkpoint.
+            trc = {
+                k[len("trc__"):]: ck[k] for k in ck.files if k.startswith("trc__")
+            }
+            stc = {
+                k[len("stc__"):]: ck[k] for k in ck.files if k.startswith("stc__")
+            }
+            trace_chunks = [trc] if trc else []
+            stats_chunks = [stc] if stc else []
             counters = {
                 k: jnp.asarray(ck[f"counter_{k}"]) if f"counter_{k}" in ck else v
                 for k, v in counters.items()
@@ -831,9 +853,10 @@ def sample_chmc_chains_host_loop(
             "x_obs": onp.asarray(x_obs),
             "keys": onp.asarray(keys),
             "step_size": onp.asarray(step_size),
-            "trace_chunks": onp.asarray(trace_chunks, dtype=object),
-            "stats_chunks": onp.asarray(stats_chunks, dtype=object),
         }
+        for prefix, chunks in (("trc__", trace_chunks), ("stc__", stats_chunks)):
+            for k, v in _concat_sweep_chunks(chunks).items():
+                payload[prefix + k] = v
         for f in ad.DualAveragingState._fields:
             payload[f"da_{f}"] = onp.asarray(getattr(da, f))
         for k, v in counters.items():
@@ -865,8 +888,15 @@ def sample_chmc_chains_host_loop(
         q, x_obs, keys, counters, traces, stats = main_sweep(
             q, x_obs, step_size, keys, counters
         )
-        trace_chunks.append({k: onp.asarray(v) for k, v in traces.items()})
-        stats_chunks.append({k: onp.asarray(v) for k, v in stats.items()})
+        # Store each sweep as (chains, 1, partitions, ...) so chunks of any
+        # sweep count concatenate uniformly (checkpoint restore loads the
+        # accumulated history as one multi-sweep chunk).
+        trace_chunks.append(
+            {k: onp.asarray(v)[:, None] for k, v in traces.items()}
+        )
+        stats_chunks.append(
+            {k: onp.asarray(v)[:, None] for k, v in stats.items()}
+        )
         main_times.append(_time.time() - t0)
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
             save(n_warm_sweeps + sweep + 1)
@@ -878,17 +908,11 @@ def sample_chmc_chains_host_loop(
             )
 
     def concat_chunks(chunks):
-        # each chunk: dict of (chains, num_partition, ...) arrays for one sweep
-        if not chunks:
-            return {}
-        out = {}
-        for k in chunks[0].keys():
-            per_sweep = [c[k] for c in chunks]  # (chains, parts, ...)
-            stacked = onp.stack(per_sweep, axis=1)  # (chains, sweeps, parts, ...)
-            out[k] = stacked.reshape(
-                (num_chains, -1) + stacked.shape[3:]
-            )
-        return out
+        merged = _concat_sweep_chunks(chunks)
+        # (chains, sweeps, partitions, ...) -> (chains, iters, ...)
+        return {
+            k: v.reshape((num_chains, -1) + v.shape[3:]) for k, v in merged.items()
+        }
 
     return {
         "final_pos": q,

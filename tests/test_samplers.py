@@ -228,6 +228,72 @@ def test_host_loop_matches_ingraph_driver(rng):
     assert len(r_host["timings"]["main_sweep_s"]) == 4
 
 
+@pytest.mark.slow
+def test_host_loop_checkpoint_resume(rng, tmp_path):
+    """Killing the host loop mid-run and resuming from its .npz checkpoint
+    must reproduce the uninterrupted run exactly (including accumulated
+    traces, which are stored as plain arrays, not pickled objects)."""
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains_host_loop
+
+    y_seq = jnp.asarray(rng.standard_normal((4, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    _, _, q_star = analytic_conditional(y_seq)
+    q_init = jnp.broadcast_to(jnp.asarray(q_star), (2, len(q_star))) + 0.0
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+    kwargs = dict(
+        num_warm_up_iter=4,
+        num_main_iter=8,
+        max_tree_depth=3,
+        init_step_size=0.4,
+        trace_func=lambda q: {"pos_head": q[:2]},
+    )
+
+    full = sample_chmc_chains_host_loop(
+        system, q_init, x_obs_init, jax.random.PRNGKey(9), **kwargs
+    )
+
+    # Interrupted run: checkpoint every sweep, stop after 2 main sweeps
+    # (2 warm + 4 main sweeps total; cut at sweep 4).
+    ckpt = str(tmp_path / "hl.npz")
+    sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(9),
+        checkpoint_path=ckpt,
+        checkpoint_every=1,
+        **{**kwargs, "num_main_iter": 4},
+    )
+    import numpy as onp
+
+    with onp.load(ckpt) as ck:
+        assert int(ck["sweep"]) == 4
+        # No object arrays in the checkpoint.
+        assert all(ck[k].dtype != object for k in ck.files)
+
+    resumed = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(9),
+        checkpoint_path=ckpt,
+        checkpoint_every=1,
+        **kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full["final_pos"]), np.asarray(resumed["final_pos"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["traces"]["pos_head"]),
+        np.asarray(resumed["traces"]["pos_head"]),
+        rtol=0,
+        atol=0,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full["stats"]["n_step"]), np.asarray(resumed["stats"]["n_step"])
+    )
+
+
 def test_stan_windows_partition():
     init, slow, term = stan_windows(1000)
     assert init == 75 and term == 50
