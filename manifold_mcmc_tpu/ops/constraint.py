@@ -223,12 +223,15 @@ def make_constraint_functions(
     S = layout.num_steps_per_obs
     y_seq = jnp.asarray(y_seq)
 
+    import os as _os
+    _unroll = int(_os.environ.get("MMT_SCAN_UNROLL", "1"))
+
     def step_scan(z, x_0, v_seq):
         def body(x, v):
             x_n = forward_func(z, x, v, delta)
             return x_n, x_n
 
-        return lax.scan(body, x_0, v_seq)[1]
+        return lax.scan(body, x_0, v_seq, unroll=_unroll)[1]
 
     def generate_x_obs_seq(q):
         """States at observation times for the current noise path."""

@@ -66,6 +66,7 @@ class ConditionedDiffusionConstrainedSystem:
         generate_sigma=None,
         use_gaussian_splitting=False,
         dim_v_0=None,
+        impl="rollout",
     ):
         y_seq = jnp.asarray(y_seq)
         if y_seq.ndim == 1:
@@ -110,7 +111,17 @@ class ConditionedDiffusionConstrainedSystem:
             "y_seq": y_seq,
         }
 
-        fns = make_constraint_functions(
+        if impl == "rollout":
+            from manifold_mcmc_tpu.ops.rollout import (
+                make_rollout_constraint_functions,
+            )
+
+            make_fns = make_rollout_constraint_functions
+        elif impl == "scan":
+            make_fns = make_constraint_functions
+        else:
+            raise ValueError(f"unknown constraint impl {impl!r}")
+        fns = make_fns(
             self.layout,
             self.schemes,
             y_seq,
