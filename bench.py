@@ -52,20 +52,22 @@ if os.environ.get("MMT_BENCH_X64") == "1":
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
-# Degradation ladder.  Measured constraints (see PROGRESS notes / verify
-# skill): the tunnelled TPU worker kills device executions beyond ~20-40 s,
-# and the batched constrained step at the canonical (T=100, S=25, R=5) costs
-# ~0.29 s at 256 chains / ~0.55 s at 512 / ~1.07 s at 1024.  The host-loop
-# driver dispatches one sub-iteration (<= 2**depth steps) at a time, so each
-# (chains, depth) pair below keeps worst-case dispatch duration under ~20 s.
-# Each entry: (chains, T, S, R, max_tree_depth, warm, main).
+# Degradation ladder.  Measured constraints (see verify skill): the
+# tunnelled TPU worker kills device executions beyond ~20-40 s, and with the
+# SoA rollout/transfer-matrix constraint path the batched constrained step
+# at the canonical (T=100, S=25, R=5) costs ~15 ms at 1024 chains (true
+# device time; each dispatch additionally pays a ~25 ms tunnel round trip).
+# The host-loop driver dispatches one sub-iteration (<= 2**depth steps) at a
+# time, so a depth-8 sub-iteration at 1024 chains is ~4-6 s -- comfortably
+# under the watchdog.  Each entry: (chains, T, S, R, max_tree_depth, warm,
+# main); later rungs are the degradation path proven in earlier rounds.
 RUNGS = [
-    (256, 100, 25, 5, 5, 40, 64),
-    (512, 100, 25, 5, 4, 40, 64),
-    (128, 100, 25, 5, 5, 40, 64),
+    (1024, 100, 25, 5, 8, 64, 128),
+    (1024, 100, 25, 5, 6, 64, 128),
+    (512, 100, 25, 5, 8, 48, 96),
+    (256, 100, 25, 5, 6, 40, 64),
     (1024, 100, 25, 5, 3, 32, 48),
     (64, 100, 25, 5, 6, 32, 64),
-    (64, 50, 25, 5, 6, 32, 64),
     (64, 25, 10, 5, 5, 32, 64),
     (32, 25, 10, 5, 4, 16, 32),
 ]

@@ -39,19 +39,77 @@ from manifold_mcmc_tpu.systems.metrics import IdentityMetric  # noqa: E402
 from manifold_mcmc_tpu.utils.config import default_tolerances  # noqa: E402
 
 
+K_INNER = int(os.environ.get("MMT_PROF_INNER", 8))
+
+
 def timeit(fn, *args, repeats=None, label=""):
+    """Median wall time of ``fn(*args)`` with the tunnel round trip removed.
+
+    A single dispatch through the remote TPU tunnel costs ~25 ms regardless
+    of the program, so each op is timed as a ``lax.scan`` of ``K_INNER``
+    dependent invocations inside ONE dispatch; the per-op cost is
+    ``(T_loop - T_single) / (K - 1)`` -- the single-call time cancels the
+    fixed overhead.  The scanned input is perturbed by a tiny multiple of
+    the previous output so XLA cannot hoist the computation out of the loop.
+    """
+    import jax.numpy as _jnp
+    from jax import lax as _lax
+
     repeats = repeats or int(os.environ.get("MMT_PROF_REPEATS", 5))
-    out = fn(*args)
-    jax.block_until_ready(out)  # compile + warm
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = fn(*args)
+
+    def tree_mix(out):
+        # A tiny but NON-underflowing data dependence: ~1e-6 relative input
+        # perturbation per loop iteration (f32 eps is 1.2e-7, so multiplying
+        # by (1 + 1e-30 * sum) would round back to the identical input and
+        # XLA could hoist the op out of the loop).
+        leaves = [x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "dtype")]
+        mix = 0.0
+        for x in leaves:
+            if _jnp.issubdtype(x.dtype, _jnp.floating):
+                mix = mix + _jnp.sum(x)
+        return _jnp.tanh(mix) * 1e-6
+
+    @jax.jit
+    def looped(*args):
+        def body(carry, _):
+            eps, acc = carry
+            first = jax.tree_util.tree_map(
+                lambda x: x * (1.0 + eps)
+                if _jnp.issubdtype(_jnp.asarray(x).dtype, _jnp.floating)
+                else x,
+                args[0],
+            )
+            out = fn(first, *args[1:])
+            return (tree_mix(out), acc + tree_mix(out)), None
+
+        dt0 = _jnp.asarray(jax.tree_util.tree_leaves(args[0])[0]).dtype
+        (eps, acc), _ = _lax.scan(
+            body,
+            (_jnp.asarray(0.0, dt0), _jnp.asarray(0.0, dt0)),
+            None,
+            length=K_INNER,
+        )
+        return acc
+
+    def run(f, *a):
+        out = f(*a)
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    med = float(np.median(times))
-    print(f"  {label:45s} {med * 1e3:10.2f} ms", file=sys.stderr)
-    return med
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = f(*a)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times))
+
+    t_single = run(fn, *args)
+    t_loop = run(looped, *args)
+    per_op = max(t_loop - t_single, 1e-9) / (K_INNER - 1)
+    print(
+        f"  {label:45s} {per_op * 1e3:10.2f} ms   (single call {t_single * 1e3:.1f})",
+        file=sys.stderr,
+    )
+    return per_op
 
 
 def main():

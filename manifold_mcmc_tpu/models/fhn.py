@@ -53,7 +53,9 @@ def generate_sigma_y(u):
 
 
 def generate_x_0(z, v_0):
-    return v_0 - jnp.array([0.0, 1.0]) * z[3]
+    # x_0 = v_0 - [0, 1] * beta, written component-wise so it broadcasts
+    # over trailing batch axes of v_0 (SoA fast-path contract).
+    return jnp.stack([v_0[0], v_0[1] - z[3]], axis=0)
 
 
 generate_x_seq = make_generate_x_seq(forward_func)

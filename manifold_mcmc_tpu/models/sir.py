@@ -75,12 +75,12 @@ def diff_coeff(x, z):
     alpha = jnp.exp(x[2])
     beta, gamma, zeta, eps = z
     infection_noise = jnp.sqrt(alpha * x[0] * x[1] / N)
-    zero = 0.0 * eps
+    zero = jnp.zeros_like(infection_noise)
     return jnp.array(
         [
             [infection_noise, zero, zero],
             [-infection_noise, jnp.sqrt(beta * x[1]), zero],
-            [zero, zero, eps],
+            [zero, zero, eps + zero],
         ]
     )
 
@@ -105,12 +105,12 @@ def log_domain_diff_coeff(x, z):
     """Ito-transformed diffusion coefficient in log coordinates."""
     u, w, c = x
     beta, gamma, zeta, eps = z
-    zero = 0.0 * eps
+    zero = jnp.zeros_like(u)
     return jnp.array(
         [
             [jnp.sqrt(jnp.exp(c + w - u) / N), zero, zero],
             [-jnp.sqrt(jnp.exp(c + u - w) / N), jnp.sqrt(beta * jnp.exp(-w)), zero],
-            [zero, zero, eps],
+            [zero, zero, eps + zero],
         ]
     )
 
@@ -151,7 +151,10 @@ def generate_z(u):
 
 
 def generate_x_0(z, v_0):
-    return jnp.array([jnp.log(762.0), jnp.log(1.0), v_0[0]])
+    one = jnp.ones_like(v_0[0])
+    return jnp.stack(
+        [jnp.log(762.0) * one, jnp.log(1.0) * one, v_0[0]], axis=0
+    )
 
 
 def generate_sigma_y(u):

@@ -32,6 +32,8 @@ package's block pytree layout.
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
+from manifold_mcmc_tpu.ops import smallchol
+
 __all__ = [
     "compute_D_blocks",
     "chol_gram_blocks",
@@ -42,6 +44,21 @@ __all__ = [
     "lmult_by_inv_gram",
     "lmult_by_inv_jacob_product",
 ]
+
+
+def _cholesky(D):
+    """Batched Cholesky; tiny matrices use the unrolled element-wise path
+    (XLA's loop-based batched cholesky is ~100x off the roofline there)."""
+    if D.shape[-1] <= smallchol.MAX_UNROLL_DIM:
+        return smallchol.cholesky_small(D)
+    return jnp.linalg.cholesky(D)
+
+
+def _cho_solve(chol, b):
+    """Batched solve from a lower Cholesky factor (vector or matrix rhs)."""
+    if chol.shape[-1] <= smallchol.MAX_UNROLL_DIM:
+        return smallchol.cho_solve_small(chol, b)
+    return jsl.cho_solve((chol, True), b)
 
 
 def _sum_uT_v(du_blocks, other_blocks):
@@ -100,11 +117,9 @@ def chol_gram_blocks(M_0, du, dv, dn, num_state_rows_per_block):
     Returns ``(chol_C, chol_D_blocks)`` with ``C = M_0 + J_u^T D^-1 J_u``.
     """
     D_blocks = compute_D_blocks(dv, dn, dv, dn, num_state_rows_per_block)
-    chol_D = tuple(jnp.linalg.cholesky(D) for D in D_blocks)
-    D_inv_du = tuple(
-        jsl.cho_solve((cD, True), dub) for cD, dub in zip(chol_D, du)
-    )
-    chol_C = jnp.linalg.cholesky(M_0 + _sum_uT_v(du, D_inv_du))
+    chol_D = tuple(_cholesky(D) for D in D_blocks)
+    D_inv_du = tuple(_cho_solve(cD, dub) for cD, dub in zip(chol_D, du))
+    chol_C = _cholesky(M_0 + _sum_uT_v(du, D_inv_du))
     return chol_C, chol_D
 
 
@@ -236,19 +251,16 @@ def lmult_by_inv_gram(jac, chol, vct):
     du, dv, dn = jac
     chol_C, chol_D = chol
     vct_parts = _split_c_space(vct, du)
-    D_inv_vct = [
-        jsl.cho_solve((cD, True), p[..., None])[..., 0]
-        for cD, p in zip(chol_D, vct_parts)
-    ]
+    D_inv_vct = [_cho_solve(cD, p) for cD, p in zip(chol_D, vct_parts)]
     rhs = 0
     for dub, dv_p in zip(du, D_inv_vct):
         if dub.ndim == 3:
             rhs = rhs + jnp.einsum("bij,bi->j", dub, dv_p)
         else:
             rhs = rhs + dub.T @ dv_p
-    C_inv_rhs = jsl.cho_solve((chol_C, True), rhs)
+    C_inv_rhs = _cho_solve(chol_C, rhs)
     out_parts = [
-        jsl.cho_solve((cD, True), (p - dub @ C_inv_rhs)[..., None])[..., 0]
+        _cho_solve(cD, p - dub @ C_inv_rhs)
         for cD, p, dub in zip(chol_D, vct_parts, du)
     ]
     return _flatten_c_space(out_parts)

@@ -18,6 +18,19 @@ All factories share the signature convention of the reference: given
 they return ``forward_func(z, x, v, dt)`` mapping parameters ``z``, the state
 ``x`` at time ``t`` and a standard-normal noise vector ``v`` to (an
 approximation of) the state at ``t + dt``.
+
+All factories (and the operators they are built from) are **shape
+polymorphic over trailing batch axes**: if ``drift_func`` / ``diff_coeff``
+broadcast over inputs of shape ``(dim_x, *batch)`` (which plain component
+indexing + ``jnp.stack`` style model code does automatically), then the
+returned ``forward_func`` accepts ``x: (dim_x, *batch)``,
+``v: (dim_v, *batch)`` and maps them elementwise over the batch.  The hot
+rollout kernels rely on this to run one step for *all blocks (and chains)*
+as a single structure-of-arrays call with the batch in the TPU lane
+dimension -- no ``vmap``, no tiny trailing axes.  To keep that property,
+every derivative here is a ``jax.jvp`` along broadcast basis tangents
+(never ``jacfwd``, whose output axes would land on the wrong side of the
+batch).
 """
 
 import jax
@@ -32,21 +45,54 @@ __all__ = [
 ]
 
 
+def _basis(x, k):
+    """Unit tangent along component ``k``, broadcast to ``x``'s full shape."""
+    return jnp.zeros_like(x).at[k].set(jnp.ones_like(x[k]))
+
+
+def _broadcast_tangent(t, x):
+    """Broadcast an unbatched tangent ``(dim,)`` to ``x``'s ``(dim, *batch)``."""
+    t = jnp.asarray(t, x.dtype)
+    if t.ndim < x.ndim:
+        t = t.reshape(t.shape + (1,) * (x.ndim - t.ndim))
+    return jnp.broadcast_to(t, x.shape)
+
+
+def _matvec(B, v):
+    """``B @ v`` where ``B`` is ``(m, n)`` or batched ``(m, n, *batch)`` and
+    ``v`` is ``(n, *batch)``; returns ``(m, *batch)``."""
+    if B.ndim == 2 and v.ndim == 1:
+        return B @ v
+    if B.ndim == 2:
+        return jnp.tensordot(B, v, axes=(1, 0))
+    return (B * v[None]).sum(axis=1)
+
+
 def _jvp_x(func, x, z, tangent):
     """Directional derivative of ``x -> func(x, z)`` at ``x`` along ``tangent``."""
-    return jax.jvp(lambda x_: func(x_, z), (x,), (tangent,))[1]
+    return jax.jvp(lambda x_: func(x_, z), (x,), (_broadcast_tangent(tangent, x),))[1]
 
 
 def _matrix_hessian_product(func, x, z, matrix):
     """Contract the Hessian of ``x -> func(x, z)`` with a square matrix.
 
     Returns ``sum_{k,l} matrix[k, l] * d^2 func(x, z) / dx[k] dx[l]`` with the
-    same output shape as ``func``.  Uses forward-over-forward AD; state
-    dimensions here are tiny (<= a few dozen) so materialising the Hessian is
-    cheap and fuses fully under XLA.
+    same output shape as ``func``.  Computed as ``dim_x^2`` forward-over-
+    forward directional derivatives along basis tangents, which stays
+    shape-polymorphic over trailing batch axes (``matrix`` entries may be
+    scalars or ``(*batch,)`` arrays).
     """
-    hess = jax.jacfwd(jax.jacfwd(lambda x_: func(x_, z)))(x)
-    return jnp.einsum("...kl,kl->...", hess, matrix)
+    dim = x.shape[0]
+    total = 0.0
+    for k in range(dim):
+        e_k = _basis(x, k)
+        for l in range(dim):
+            e_l = _basis(x, l)
+            h_kl = jax.jvp(
+                lambda x_: _jvp_x(func, x_, z, e_l), (x,), (e_k,)
+            )[1]
+            total = total + matrix[k, l] * h_kl
+    return total
 
 
 def diffusion_operator(drift_func, diff_coeff):
@@ -65,8 +111,10 @@ def diffusion_operator(drift_func, diff_coeff):
         def diffusion_operator_func(x, z):
             a = drift_func(x, z)
             B = diff_coeff(x, z)
+            # B B^T with optional trailing batch axes: (dim_x, dim_x, *batch).
+            BBt = (B[:, None] * B[None, :]).sum(axis=2)
             return _jvp_x(func, x, z, a) + 0.5 * _matrix_hessian_product(
-                func, x, z, B @ B.T
+                func, x, z, BBt
             )
 
         return diffusion_operator_func
@@ -97,7 +145,9 @@ def euler_maruyama_step(drift_func, diff_coeff):
     """
 
     def forward_func(z, x, v, dt):
-        return x + dt * drift_func(x, z) + jnp.sqrt(dt) * diff_coeff(x, z) @ v
+        return x + dt * drift_func(x, z) + jnp.sqrt(dt) * _matvec(
+            diff_coeff(x, z), v
+        )
 
     return forward_func
 
@@ -122,18 +172,24 @@ def milstein_step(drift_func, diff_coeff, noise_type="diagonal"):
         a = drift_func(x, z)
         B = diff_coeff(x, z)
         if noise_type == "diagonal":
-            # dB has shape (dim_x, dim_w, dim_x); for diagonal noise we need
-            # the derivative of each diagonal entry w.r.t. its own state
-            # component: dB[i, i, i].
-            dB = jax.jacfwd(lambda x_: diff_coeff(x_, z))(x)
+            # For diagonal noise the correction component i needs the
+            # derivative of diagonal entry B[i, i] w.r.t. its own state
+            # component x_i: one basis-jvp per component (polymorphic).
             dim = x.shape[0]
-            idx = jnp.arange(dim)
-            B_dB_dx = B[idx, idx] * dB[idx, idx, idx]
-            correction = B_dB_dx * (dw**2 - dt) / 2
+            correction = jnp.stack(
+                [
+                    B[i, i]
+                    * _jvp_x(diff_coeff, x, z, _basis(x, i))[i, i]
+                    * (dw[i] ** 2 - dt)
+                    / 2
+                    for i in range(dim)
+                ],
+                axis=0,
+            )
         else:  # scalar noise
             L1_B = _jvp_x(lambda x_, z_: diff_coeff(x_, z_)[:, 0], x, z, B[:, 0])
             correction = L1_B * (dw[0] ** 2 - dt) / 2
-        return x + dt * a + B @ dw + correction
+        return x + dt * a + _matvec(B, dw) + correction
 
     return forward_func
 
@@ -166,7 +222,7 @@ def strong_order_1p5_step(drift_func, diff_coeff, noise_type="additive"):
             return (
                 x
                 + dt * drift_func(x, z)
-                + diff_coeff(x, z) @ dw
+                + _matvec(diff_coeff(x, z), dw)
                 + (dt**2 / 2) * L0(drift_func)(x, z)
                 + Lj_drift_terms
             )
@@ -183,12 +239,12 @@ def strong_order_1p5_step(drift_func, diff_coeff, noise_type="additive"):
             return (
                 x
                 + dt * drift_func(x, z)
-                + diff_coeff(x, z) @ dw
-                + L1(diff_coeff)(x, z) @ (dw**2 - dt) / 2
+                + _matvec(diff_coeff(x, z), dw)
+                + _matvec(L1(diff_coeff)(x, z), (dw**2 - dt)) / 2
                 + L1(drift_func)(x, z) * dzeta
                 + L0(diff_col)(x, z) * (dw * dt - dzeta)
                 + (dt**2 / 2) * L0(drift_func)(x, z)
-                + L1(L1(diff_coeff))(x, z) @ (dw**3 / 3 - dt * dw)
+                + _matvec(L1(L1(diff_coeff))(x, z), (dw**3 / 3 - dt * dw))
             )
 
     else:

@@ -38,6 +38,7 @@ Block semantics follow the reference's conditioning scheme
 ``ops.constraint`` for the partition layout.
 """
 
+import os
 from functools import partial
 
 import numpy as np
@@ -49,6 +50,11 @@ from jax import lax
 from manifold_mcmc_tpu.ops.constraint import _split_by_block_obs
 
 __all__ = ["make_rollout_constraint_functions"]
+
+# Scan unroll factor for the forward rollout and backward transfer scans.
+# Unrolling amortises per-iteration loop overhead and lets XLA fuse across
+# steps; the bodies are small so moderate unrolls keep compiles tractable.
+_UNROLL = int(os.environ.get("MMT_ROLLOUT_UNROLL", "5"))
 
 
 def _block_table(layout, scheme):
@@ -205,28 +211,41 @@ def make_rollout_constraint_functions(
         return x0.at[0].set(generate_x_0(z, v_0))
 
     def _rollout(z, x0_blocks, v_pad, partition):
-        """Masked forward rollout of all blocks; returns (L_max+1, n_blk, dim_x)
-        states including s_0 (the scan carry is flattened for TPU layout)."""
+        """Masked forward rollout of all blocks in structure-of-arrays layout.
+
+        Returns the state trajectory including ``s_0`` as
+        ``(L_max + 1, dim_x, n_blk)`` -- component axis leading, block axis
+        trailing.  The scan carry is the flat ``(dim_x * n_blk,)`` vector and
+        the step function is the model's ``forward_func`` called *directly*
+        on ``(dim_x, n_blk)`` arrays (shape-polymorphic contract of
+        ``ops.integrators``): under the chain ``vmap`` every intermediate is
+        a dense 2-d ``(chains, n_blk)`` buffer instead of a 3-d array whose
+        tiny trailing dims pad to the TPU (8, 128) tile.
+        """
         tbl = tables[partition]
         n_blk, L_max = tbl["n_blk"], tbl["L_max"]
+        all_active = bool(np.all(tbl["L"] == tbl["L_max"]))
         step_mask = jnp.asarray(
             (np.arange(L_max)[:, None] < tbl["L"][None, :])
         )  # (L_max, n_blk) static
 
         def body(x_flat, inp):
             v_t, m_t = inp
-            x = x_flat.reshape(n_blk, dim_x)
-            x_n = jax.vmap(forward_func, in_axes=(None, 0, 0, None))(
-                z, x, v_t, delta
-            )
-            x_n = jnp.where(m_t[:, None], x_n, x)
+            x = x_flat.reshape(dim_x, n_blk)
+            x_n = forward_func(z, x, v_t, delta)
+            if not all_active:
+                x_n = jnp.where(m_t, x_n, x)
             x_n_flat = x_n.reshape(-1)
             return x_n_flat, x_n_flat
 
-        v_t_seq = jnp.swapaxes(v_pad, 0, 1)  # (L_max, n_blk, dim_v)
-        _, traj = lax.scan(body, x0_blocks.reshape(-1), (v_t_seq, step_mask))
-        traj = traj.reshape(L_max, n_blk, dim_x)
-        return jnp.concatenate([x0_blocks[None], traj], axis=0)
+        # (n_blk, L_max, dim_v) -> (L_max, dim_v, n_blk)
+        v_t_seq = jnp.transpose(v_pad, (1, 2, 0))
+        x0_soa = x0_blocks.T  # (dim_x, n_blk)
+        _, traj = lax.scan(
+            body, x0_soa.reshape(-1), (v_t_seq, step_mask), unroll=_UNROLL
+        )
+        traj = traj.reshape(L_max, dim_x, n_blk)
+        return jnp.concatenate([x0_soa[None], traj], axis=0)
 
     def _obs_states(s_all, partition):
         """Gather per-block observation-time states: (n_blk, n_obs_max, dim_x)."""
@@ -237,7 +256,9 @@ def make_rollout_constraint_functions(
             tbl["L"][:, None],
         )
         blk_idx = np.arange(tbl["n_blk"])[:, None]
-        return s_all[jnp.asarray(obs_tau), jnp.asarray(blk_idx)]
+        # s_all is (L+1, dim_x, n_blk); the mixed advanced/basic indexing
+        # broadcasts (obs_tau, blk_idx) in front: (n_blk, n_obs_max, dim_x).
+        return s_all[jnp.asarray(obs_tau), :, jnp.asarray(blk_idx)]
 
     # ---------------------------------------------------------------- #
     # constraint                                                         #
@@ -261,8 +282,10 @@ def make_rollout_constraint_functions(
             sigma = generate_sigma(u)
             n_pad = _pad_per_obs(n_seq, partition, dim_y)
             y_gen = y_gen + sigma * n_pad
-        # Final state of each block (for state-match rows).
-        s_final = s_all[jnp.asarray(tbl["L"]), jnp.asarray(np.arange(tbl["n_blk"]))]
+        # Final state of each block (for state-match rows): (n_blk, dim_x).
+        s_final = s_all[
+            jnp.asarray(tbl["L"]), :, jnp.asarray(np.arange(tbl["n_blk"]))
+        ]
         # Assemble uniform rows: obs rows then state rows, per static table.
         out = jnp.zeros((tbl["n_blk"], tbl["n_rows_max"]), q.dtype)
         r_obs = jnp.where(
@@ -338,32 +361,70 @@ def make_rollout_constraint_functions(
     # ---------------------------------------------------------------- #
 
     def _step_jacobians(z, s_all, v_pad, partition):
-        """Per-step local Jacobians A, B, C -- parallel over (t, block).
+        """Per-step local Jacobians A, B, C -- parallel over (t, block), SoA.
 
-        A[t] = df/dx at (s_t, v_t), shape (L_max, n_blk, dim_x, dim_x);
-        B[t] = df/dv, (L_max, n_blk, dim_x, dim_v);
-        C[t] = df/dz, (L_max, n_blk, dim_x, dim_z).
+        One ``jax.jvp`` per input component (df/dx_k, df/dv_k, df/dz_k),
+        each evaluated on the whole ``(dim_x, L_max * n_blk)`` batch at once
+        (shape-polymorphic ``forward_func`` contract).  Returns flat per-step
+        arrays ready to be scanned over:
+
+        - A: (L_max, dim_x * dim_x * n_blk), A[t, (y, k, b)] = df_y/dx_k,
+        - B: (L_max, dim_x * dim_v * n_blk),
+        - C: (L_max, dim_x * dim_z * n_blk).
+
         Padded steps are masked to A=I, B=0, C=0 (the rollout froze them).
         """
         tbl = tables[partition]
         L_max, n_blk = tbl["L_max"], tbl["n_blk"]
-        s_in = s_all[:-1]  # (L_max, n_blk, dim_x)
-        v_t_seq = jnp.swapaxes(v_pad, 0, 1)  # (L_max, n_blk, dim_v)
+        LB = L_max * n_blk
+        # (L_max+1, dim_x, n_blk) -> (dim_x, L_max*n_blk)
+        x_in = jnp.moveaxis(s_all[:-1], 1, 0).reshape(dim_x, LB)
+        # (n_blk, L_max, dim_v) -> (dim_v, L_max*n_blk)
+        v_in = jnp.transpose(v_pad, (2, 1, 0)).reshape(dim_v, LB)
 
-        def local_jac(x, v):
-            def f(x_, v_, z_):
-                return forward_func(z_, x_, v_, delta)
+        def f_xv(x, v):
+            return forward_func(z, x, v, delta)
 
-            return jax.jacfwd(f, argnums=(0, 1, 2))(x, v, z)
+        zeros_v = jnp.zeros_like(v_in)
+        zeros_x = jnp.zeros_like(x_in)
 
-        A, B, C = jax.vmap(jax.vmap(local_jac))(s_in, v_t_seq)
-        m = jnp.asarray(np.arange(L_max)[:, None] < tbl["L"][None, :])[
-            ..., None, None
+        def basis(a, k):
+            return jnp.zeros_like(a).at[k].set(jnp.ones_like(a[k]))
+
+        A_cols = [
+            jax.jvp(f_xv, (x_in, v_in), (basis(x_in, k), zeros_v))[1]
+            for k in range(dim_x)
         ]
-        eye = jnp.eye(dim_x, dtype=s_all.dtype)
-        A = jnp.where(m, A, eye)
-        B = jnp.where(m, B, 0.0)
-        C = jnp.where(m, C, 0.0)
+        B_cols = [
+            jax.jvp(f_xv, (x_in, v_in), (zeros_x, basis(v_in, k)))[1]
+            for k in range(dim_v)
+        ]
+        C_cols = [
+            jax.jvp(
+                lambda z_: forward_func(z_, x_in, v_in, delta),
+                (z,),
+                (jnp.zeros_like(z).at[k].set(1.0),),
+            )[1]
+            for k in range(dim_z)
+        ]
+        m = jnp.asarray(
+            (np.arange(L_max)[:, None] < tbl["L"][None, :]).reshape(-1)
+        )  # (L_max*n_blk,) static, t-major
+
+        def pack(cols, mask_vals):
+            # cols[k]: (dim_x, LB) -> (L_max, dim_x * n_cols * n_blk)
+            out = []
+            for y in range(dim_x):
+                for k, c in enumerate(cols):
+                    val = jnp.where(m, c[y], mask_vals(y, k))
+                    out.append(val.reshape(L_max, n_blk))
+            return jnp.concatenate(out, axis=-1).reshape(
+                L_max, dim_x * len(cols) * n_blk
+            )
+
+        A = pack(A_cols, lambda y, k: 1.0 if y == k else 0.0)
+        B = pack(B_cols, lambda y, k: 0.0)
+        C = pack(C_cols, lambda y, k: 0.0)
         return A, B, C
 
     def _row_injections(s_all, partition):
@@ -382,47 +443,76 @@ def make_rollout_constraint_functions(
         return jnp.where(jnp.asarray(tbl["row_active"])[..., None], G, 0.0)
 
     def _backward_transfer(G_rows, A, B, C, partition):
-        """Linear backward scan: accumulate W_t = d(rows)/d s_t.
+        """Linear backward scan: accumulate W_t = d(rows)/d s_t (SoA layout).
+
+        Inputs A/B/C are the flat per-step transfer matrices from
+        :func:`_step_jacobians`.  The carry is the flat
+        ``(dim_x * n_rows * n_blk,)`` adjoint ``W`` (plus the flat ``dz``
+        accumulator); all contractions are unrolled over the tiny component
+        indices so the body is pure elementwise work over the block axis.
 
         Returns ``(dv_steps, dz_rows, W0)`` with
         ``dv_steps[t] = W_{t+1} B_t`` (L_max, n_blk, n_rows_max, dim_v),
         ``dz_rows = sum_t W_{t+1} C_t`` (n_blk, n_rows_max, dim_z),
         ``W0 = d(rows)/d s_0`` (n_blk, n_rows_max, dim_x).
-        Carries are flattened so the chain-vmapped buffers stay 2-d.
         """
         tbl = tables[partition]
         n_blk, n_rows, L_max = tbl["n_blk"], tbl["n_rows_max"], tbl["L_max"]
-        # inj_mask[t, b, r] = 1 iff tau_r == t + 1 (static, not chain-batched).
+        # inj_mask[t, r, b] = 1 iff tau_r == t + 1 (static, not chain-batched).
         inj_mask = jnp.asarray(
             (
-                tbl["row_tau"][None]
+                tbl["row_tau"].T[None]
                 == (np.arange(L_max)[:, None, None] + 1)
             ).astype(np.float32)
         ).astype(G_rows.dtype)
+        G_soa = jnp.transpose(G_rows, (2, 1, 0))  # (dim_x, n_rows, n_blk)
 
         def body(carry, inp):
             W_flat, dz_flat = carry
             A_t, B_t, C_t, m_t = inp
-            W = W_flat.reshape(n_blk, n_rows, dim_x)
-            W = W + m_t[..., None] * G_rows
-            dv_t = jnp.einsum("brx,bxv->brv", W, B_t)
-            dz = dz_flat.reshape(n_blk, n_rows, dim_z) + jnp.einsum(
-                "brx,bxz->brz", W, C_t
+            W = W_flat.reshape(dim_x, n_rows, n_blk)
+            W = W + m_t * G_soa
+            A_m = A_t.reshape(dim_x, dim_x, n_blk)
+            B_m = B_t.reshape(dim_x, dim_v, n_blk)
+            C_m = C_t.reshape(dim_x, dim_z, n_blk)
+            dv_t = jnp.stack(
+                [
+                    sum(W[y] * B_m[y, k] for y in range(dim_x))
+                    for k in range(dim_v)
+                ]
             )
-            W = jnp.einsum("brx,bxy->bry", W, A_t)
-            return (W.reshape(-1), dz.reshape(-1)), dv_t.reshape(-1)
+            dz = dz_flat.reshape(dim_z, n_rows, n_blk) + jnp.stack(
+                [
+                    sum(W[y] * C_m[y, k] for y in range(dim_x))
+                    for k in range(dim_z)
+                ]
+            )
+            W_new = jnp.stack(
+                [
+                    sum(W[y] * A_m[y, k] for y in range(dim_x))
+                    for k in range(dim_x)
+                ]
+            )
+            return (W_new.reshape(-1), dz.reshape(-1)), dv_t.reshape(-1)
 
         dtype = G_rows.dtype
         init = (
-            jnp.zeros(n_blk * n_rows * dim_x, dtype),
-            jnp.zeros(n_blk * n_rows * dim_z, dtype),
+            jnp.zeros(dim_x * n_rows * n_blk, dtype),
+            jnp.zeros(dim_z * n_rows * n_blk, dtype),
         )
         (W0_flat, dz_flat), dv_flat = lax.scan(
-            body, init, (A, B, C, inj_mask), reverse=True
+            body, init, (A, B, C, inj_mask), reverse=True, unroll=_UNROLL
         )
-        dv_steps = dv_flat.reshape(L_max, n_blk, n_rows, dim_v)
-        dz_rows = dz_flat.reshape(n_blk, n_rows, dim_z)
-        W0 = W0_flat.reshape(n_blk, n_rows, dim_x)
+        # (L, dim_v, n_rows, n_blk) -> (L, n_blk, n_rows, dim_v)
+        dv_steps = jnp.transpose(
+            dv_flat.reshape(L_max, dim_v, n_rows, n_blk), (0, 3, 2, 1)
+        )
+        dz_rows = jnp.transpose(
+            dz_flat.reshape(dim_z, n_rows, n_blk), (2, 1, 0)
+        )
+        W0 = jnp.transpose(
+            W0_flat.reshape(dim_x, n_rows, n_blk), (2, 1, 0)
+        )
         return dv_steps, dz_rows, W0
 
     @partial(jax.jit, static_argnames=("partition",))

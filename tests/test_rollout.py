@@ -82,6 +82,7 @@ def test_constr_and_jacobian_match_scan_impl(rng, noisy, partition):
     )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("noisy", [False, True])
 def test_unblocked_matches_scan_impl(rng, noisy):
     fast, ref = make_pair(noisy=noisy, num_obs_per_subseq=None)
@@ -99,6 +100,7 @@ def test_unblocked_matches_scan_impl(rng, noisy):
     )
 
 
+@pytest.mark.slow
 def test_ragged_partition_matches_scan_impl(rng):
     # num_obs not divisible by R: ragged final block; R // 2 initial block in
     # the staggered partition.
@@ -117,6 +119,7 @@ def test_ragged_partition_matches_scan_impl(rng):
         )
 
 
+@pytest.mark.slow
 def test_sir_model_matches_scan_impl(rng):
     fast, ref = make_pair(model=sir, noisy=True, num_obs_per_subseq=2, S=2)
     q, x_obs_seq = random_point(ref, rng)
