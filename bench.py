@@ -62,9 +62,9 @@ import numpy as np  # noqa: E402
 # under the watchdog.  Each entry: (chains, T, S, R, max_tree_depth, warm,
 # main); later rungs are the degradation path proven in earlier rounds.
 RUNGS = [
-    (1024, 100, 25, 5, 8, 64, 128),
-    (1024, 100, 25, 5, 6, 64, 128),
-    (512, 100, 25, 5, 8, 48, 96),
+    (1024, 100, 25, 5, 6, 48, 96),
+    (1024, 100, 25, 5, 5, 48, 96),
+    (512, 100, 25, 5, 6, 48, 96),
     (256, 100, 25, 5, 6, 40, 64),
     (1024, 100, 25, 5, 3, 32, 48),
     (64, 100, 25, 5, 6, 32, 64),

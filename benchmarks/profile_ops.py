@@ -268,6 +268,58 @@ def main():
         step_v, q, mom, x_obs, label="full constrained step (dt=0.01)"
     )
 
+    # 10. full dynamic-HMC transitions (tree overhead + steps, in context)
+    from manifold_mcmc_tpu.samplers.hmc import dynamic_multinomial_hmc, static_hmc
+
+    depth = int(os.environ.get("MMT_PROF_DEPTH", 5))
+    eps = float(os.environ.get("MMT_PROF_STEP", 0.05))
+
+    def make_transition(kind):
+        def transition(q_, m_, x_, key):
+            integ_i = make_constrained_integrator(
+                system, x_, partition=0, projection_solver="quasi-newton",
+                reverse_check_tol=tols["reverse_check_tol"],
+                constraint_tol=tols["constraint_tol"],
+                position_tol=tols["position_tol"],
+                divergence_tol=tols["divergence_tol"],
+            )
+            pt = integ_i.init(q_, m_, metric)
+            pt = pt._replace(mom=integ_i.sample_momentum(key, pt, metric))
+            if kind == "dynamic":
+                pos, mom, stats = dynamic_multinomial_hmc(
+                    integ_i, metric, pt, key, eps, depth
+                )
+            else:
+                pos, mom, stats = static_hmc(
+                    integ_i, metric, pt, key, eps, 2**depth
+                )
+            return pos, stats["n_step"]
+
+        return jax.jit(jax.vmap(transition, in_axes=(0, 0, 0, 0)))
+
+    keys = jax.random.split(jax.random.PRNGKey(7), num_chains)
+    for kind in ("dynamic", "static"):
+        fn = make_transition(kind)
+        out = fn(q, mom, x_obs, keys)
+        jax.block_until_ready(out)
+        n_step_mean = float(np.asarray(out[1]).mean())
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn(q, mom, x_obs, keys)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        med = float(np.median(times))
+        per_step = med / max(2**depth, 1)
+        print(
+            f"  {kind + ' transition (depth ' + str(depth) + ')':45s} "
+            f"{med * 1e3:10.2f} ms   (avg n_step {n_step_mean:.1f}, "
+            f"/2^depth {per_step * 1e3:.2f} ms)",
+            file=sys.stderr,
+        )
+        results[f"{kind}_transition_s"] = med
+        results[f"{kind}_transition_mean_n_step"] = n_step_mean
+
     print(json.dumps(results))
 
 

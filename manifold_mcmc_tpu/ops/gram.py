@@ -46,19 +46,29 @@ __all__ = [
 ]
 
 
+def _use_unrolled(n):
+    """Unrolled tiny-matrix path: on accelerators XLA's loop-based batched
+    cholesky/solves are ~100x off the roofline for n <= ~16; on CPU the
+    library kernels are fast and the unrolled op DAG only bloats compiles."""
+    import jax
+
+    return n <= smallchol.MAX_UNROLL_DIM and jax.default_backend() != "cpu"
+
+
 def _cholesky(D):
-    """Batched Cholesky; tiny matrices use the unrolled element-wise path
-    (XLA's loop-based batched cholesky is ~100x off the roofline there)."""
-    if D.shape[-1] <= smallchol.MAX_UNROLL_DIM:
+    """Batched Cholesky (see :func:`_use_unrolled` for the dispatch)."""
+    if _use_unrolled(D.shape[-1]):
         return smallchol.cholesky_small(D)
     return jnp.linalg.cholesky(D)
 
 
 def _cho_solve(chol, b):
     """Batched solve from a lower Cholesky factor (vector or matrix rhs)."""
-    if chol.shape[-1] <= smallchol.MAX_UNROLL_DIM:
+    if _use_unrolled(chol.shape[-1]):
         return smallchol.cho_solve_small(chol, b)
-    return jsl.cho_solve((chol, True), b)
+    if b.ndim >= 2 and b.shape[-2] == chol.shape[-1] and b.shape[:-2] == chol.shape[:-2]:
+        return jsl.cho_solve((chol, True), b)
+    return jsl.cho_solve((chol, True), b[..., None])[..., 0]
 
 
 def _sum_uT_v(du_blocks, other_blocks):

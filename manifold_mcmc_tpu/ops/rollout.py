@@ -344,17 +344,24 @@ def make_rollout_constraint_functions(
         return _flatten_rows(gen - tgt, partition)
 
     def generate_x_obs_seq(q):
-        """States at observation times from a full-path scan."""
+        """States at observation times from a full-path scan.
+
+        The scan iterates per *observation* with the ``S`` within-interval
+        steps unrolled in the body (SoA ``forward_func`` on ``(dim_x,)``),
+        cutting the sequential iteration count -- and with it the dominant
+        loop-overhead cost of this full-path pass -- by ``S``x.
+        """
         u, v_0, v_seq, _ = layout.split_q(q)
         z = generate_z(u)
         x_0 = generate_x_0(z, v_0)
+        v_by_obs = v_seq.reshape(layout.num_obs, S, dim_v)
 
-        def body(x, v):
-            x_n = forward_func(z, x, v, delta)
-            return x_n, x_n
+        def body(x, v_obs):
+            for i in range(S):
+                x = forward_func(z, x, v_obs[i], delta)
+            return x, x
 
-        x_seq = lax.scan(body, x_0, v_seq)[1]
-        return x_seq[S - 1 :: S]
+        return lax.scan(body, x_0, v_by_obs)[1]
 
     # ---------------------------------------------------------------- #
     # transfer-matrix Jacobian                                           #
