@@ -165,6 +165,13 @@ def main():
           file=sys.stderr)
 
     results = {"num_chains": num_chains, "T": T, "S": S, "R": R}
+    if os.environ.get("MMT_PROF_ONLY") == "transitions":
+        mom = jax.vmap(
+            lambda k: jax.random.normal(k, (system.layout.dim_q,), dtype)
+        )(jax.random.split(jax.random.PRNGKey(1), num_chains))
+        _profile_transitions(system, metric, tols, q, mom, x_obs, results)
+        print(json.dumps(results))
+        return
 
     # 1. constraint evaluation
     constr_v = jax.jit(jax.vmap(lambda q_, x_: system.constr(q_, x_, 0)))
@@ -268,11 +275,21 @@ def main():
         step_v, q, mom, x_obs, label="full constrained step (dt=0.01)"
     )
 
-    # 10. full dynamic-HMC transitions (tree overhead + steps, in context)
-    from manifold_mcmc_tpu.samplers.hmc import dynamic_multinomial_hmc, static_hmc
+    _profile_transitions(system, metric, tols, q, mom, x_obs, results)
+    print(json.dumps(results))
 
+
+def _profile_transitions(system, metric, tols, q, mom, x_obs, results):
+    """Time whole HMC transitions (tree + steps + projections, in context)."""
+    from manifold_mcmc_tpu.samplers.hmc import dynamic_multinomial_hmc, static_hmc
+    from manifold_mcmc_tpu.samplers.integrators import (
+        make_constrained_integrator,
+    )
+
+    num_chains = q.shape[0]
     depth = int(os.environ.get("MMT_PROF_DEPTH", 5))
     eps = float(os.environ.get("MMT_PROF_STEP", 0.05))
+    max_iters = int(os.environ.get("MMT_PROF_MAX_ITERS", 50))
 
     def make_transition(kind):
         def transition(q_, m_, x_, key):
@@ -282,6 +299,7 @@ def main():
                 constraint_tol=tols["constraint_tol"],
                 position_tol=tols["position_tol"],
                 divergence_tol=tols["divergence_tol"],
+                max_iters=max_iters,
             )
             pt = integ_i.init(q_, m_, metric)
             pt = pt._replace(mom=integ_i.sample_momentum(key, pt, metric))
@@ -293,7 +311,9 @@ def main():
                 pos, mom, stats = static_hmc(
                     integ_i, metric, pt, key, eps, 2**depth
                 )
-            return pos, stats["n_step"]
+            return pos, stats["n_step"], stats["n_solver_iters"], stats[
+                "convergence_error"
+            ]
 
         return jax.jit(jax.vmap(transition, in_axes=(0, 0, 0, 0)))
 
@@ -303,6 +323,8 @@ def main():
         out = fn(q, mom, x_obs, keys)
         jax.block_until_ready(out)
         n_step_mean = float(np.asarray(out[1]).mean())
+        solver_iters = np.asarray(out[2])
+        err_frac = float(np.asarray(out[3]).mean())
         times = []
         for _ in range(3):
             t0 = time.perf_counter()
@@ -312,15 +334,16 @@ def main():
         med = float(np.median(times))
         per_step = med / max(2**depth, 1)
         print(
-            f"  {kind + ' transition (depth ' + str(depth) + ')':45s} "
-            f"{med * 1e3:10.2f} ms   (avg n_step {n_step_mean:.1f}, "
-            f"/2^depth {per_step * 1e3:.2f} ms)",
+            f"  {kind} transition (depth {depth}, max_iters {max_iters}): "
+            f"{med * 1e3:.1f} ms  avg n_step {n_step_mean:.1f}  "
+            f"/2^depth {per_step * 1e3:.2f} ms  "
+            f"solver iters mean {solver_iters.mean():.1f} "
+            f"max {solver_iters.max()}  err_frac {err_frac:.3f}",
             file=sys.stderr,
         )
         results[f"{kind}_transition_s"] = med
         results[f"{kind}_transition_mean_n_step"] = n_step_mean
-
-    print(json.dumps(results))
+        results[f"{kind}_err_frac"] = err_frac
 
 
 if __name__ == "__main__":
