@@ -42,7 +42,9 @@ from manifold_mcmc_tpu.systems.metrics import IdentityMetric
 __all__ = [
     "find_reasonable_step_size",
     "sample_chmc_chains",
+    "sample_chmc_chains_host_loop",
     "sample_hmc_chains",
+    "sample_hmc_chains_host_loop",
     "stan_windows",
 ]
 
@@ -506,14 +508,7 @@ def sample_hmc_chains(
     if metric_type == "block" and dim_param is None:
         raise ValueError("metric_type='block' requires dim_param")
 
-    def iteration(q, key, step_size, metric):
-        k_mom, k_tree = _split_keys(key, 2)
-        point = integ.init(q, jnp.zeros_like(q), metric)
-        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
-        pos, mom, stats = dynamic_multinomial_hmc(
-            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
-        )
-        return pos, stats
+    iteration = _make_hmc_iteration(integ, max_tree_depth, max_delta_h)
 
     def warm_up_sweep(metric, collect_welford):
         def sweep(carry, _):
@@ -662,6 +657,22 @@ def sample_hmc_chains(
     }
 
 
+def _make_hmc_iteration(integ, max_tree_depth, max_delta_h):
+    """Per-chain HMC iteration {momentum refresh, dynamic tree transition},
+    shared by the in-graph and host-loop drivers so they cannot drift."""
+
+    def iteration(q, key, step_size, metric):
+        k_mom, k_tree = _split_keys(key, 2)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        pos, mom, stats = dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, step_size, max_tree_depth, max_delta_h
+        )
+        return pos, stats
+
+    return iteration
+
+
 def _update_hmc_counters(counters, stats):
     n = stats["n_step"].astype(counters["neg_log_dens_calls"].dtype)
     out = dict(counters)
@@ -669,6 +680,162 @@ def _update_hmc_counters(counters, stats):
     out["neg_log_dens_calls"] = counters["neg_log_dens_calls"] + n
     out["grad_neg_log_dens_calls"] = counters["grad_neg_log_dens_calls"] + n
     return out
+
+
+def sample_hmc_chains_host_loop(
+    system,
+    init_pos,
+    key,
+    num_warm_up_iter,
+    num_main_iter,
+    max_tree_depth=10,
+    max_delta_h=1000.0,
+    adapt_stat_target=0.8,
+    step_size_reg_coefficient=0.05,
+    metric_type="identity",
+    dim_param=None,
+    trace_func=None,
+    init_step_size=0.5,
+    progress_every=0,
+):
+    """HMC driver with a *host-side* iteration loop (bounded dispatches).
+
+    Same sampling semantics as :func:`sample_hmc_chains` (shared per-chain
+    iteration via :func:`_make_hmc_iteration`, same Stan-style warm-up
+    windows and cross-chain Welford merges) but each device dispatch is ONE
+    vmapped iteration, so no program's execution time grows with the
+    warm-up schedule -- required on accelerator runtimes that kill long
+    device executions (see the CHMC host loop).  There is no in-graph
+    step-size search; dual averaging adapts from ``init_step_size``.
+    """
+    import time as _time
+
+    import numpy as onp
+
+    num_chains, dim_q = init_pos.shape
+    dtype = init_pos.dtype
+    trace_func = trace_func if trace_func is not None else lambda q: {}
+    integ = make_leapfrog_integrator(system)
+    if metric_type not in ("identity", "diagonal", "dense", "block"):
+        raise ValueError(f"unknown metric type {metric_type}")
+    if metric_type == "block" and dim_param is None:
+        raise ValueError("metric_type='block' requires dim_param")
+
+    iteration = _make_hmc_iteration(integ, max_tree_depth, max_delta_h)
+    wf_dim = dim_param if metric_type == "block" else dim_q
+    has_metric_adapter = metric_type != "identity"
+
+    @partial(jax.jit, static_argnames=("collect",))
+    def warm_iter(q, da, wf, keys, metric, collect):
+        def one(q0, da0, wf0, k0):
+            k_next, k = _split_keys(k0, 2)
+            q1, stats = iteration(q0, k, jnp.exp(da0.log_step), metric)
+            da1 = ad.dual_averaging_update(
+                da0,
+                stats["accept_stat"],
+                adapt_stat_target=adapt_stat_target,
+                reg_coefficient=step_size_reg_coefficient,
+            )
+            if collect:
+                x = q1[:dim_param] if metric_type == "block" else q1
+                wf0 = ad.welford_update(wf0, x)
+            return q1, da1, wf0, k_next
+
+        return jax.vmap(one)(q, da, wf, keys)
+
+    @jax.jit
+    def main_iter(q, keys, counters, metric, step_size):
+        def one(q0, k0, c0):
+            k_next, k = _split_keys(k0, 2)
+            q1, stats = iteration(q0, k, step_size, metric)
+            c1 = _update_hmc_counters(c0, stats)
+            return q1, k_next, c1, {**trace_func(q1), **c1}, stats
+
+        return jax.vmap(one)(q, keys, counters)
+
+    if has_metric_adapter:
+        init_buffer, slow_windows, term_buffer = stan_windows(num_warm_up_iter)
+    else:
+        init_buffer, slow_windows, term_buffer = num_warm_up_iter, [], 0
+
+    def fresh_welford():
+        return jax.vmap(
+            lambda _: ad.welford_init(
+                wf_dim, dtype, diagonal=(metric_type == "diagonal")
+            )
+        )(jnp.arange(num_chains))
+
+    def finalize_metric(wf_merged):
+        if metric_type == "diagonal":
+            return ad.finalize_variance_metric(wf_merged)
+        if metric_type == "dense":
+            return ad.finalize_covariance_metric(wf_merged)
+        return ad.finalize_block_diagonal_metric(wf_merged)
+
+    q = init_pos
+    keys = _split_keys(key, num_chains)
+    da = jax.vmap(ad.dual_averaging_init)(
+        jnp.full((num_chains,), init_step_size, dtype)
+    )
+    metric = IdentityMetric()
+    wf = fresh_welford()
+    t_start = _time.time()
+    done = 0
+
+    def run_window(length, collect):
+        nonlocal q, da, wf, keys, done
+        for _ in range(length):
+            q, da, wf, keys = warm_iter(q, da, wf, keys, metric, collect)
+            done += 1
+            if progress_every and done % progress_every == 0:
+                jax.block_until_ready(q)
+                print(
+                    f"[hmc-host-loop] warm iter {done}/{num_warm_up_iter} "
+                    f"({_time.time() - t_start:.0f}s)",
+                    flush=True,
+                )
+
+    run_window(init_buffer, False)
+    for w in slow_windows:
+        wf = fresh_welford()
+        run_window(w, True)
+        metric = finalize_metric(ad.welford_merge_chains(wf))
+        da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(
+            da
+        )
+    run_window(term_buffer, False)
+    step_size = ad.dual_averaging_finalize(da)
+
+    counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
+    traces_acc, stats_acc = [], []
+    for it in range(num_main_iter):
+        q, keys, counters, tr, st = main_iter(
+            q, keys, counters, metric, step_size
+        )
+        traces_acc.append({k: onp.asarray(v)[:, None] for k, v in tr.items()})
+        stats_acc.append({k: onp.asarray(v)[:, None] for k, v in st.items()})
+        if progress_every and (it + 1) % progress_every == 0:
+            print(
+                f"[hmc-host-loop] main iter {it + 1}/{num_main_iter} "
+                f"({_time.time() - t_start:.0f}s)",
+                flush=True,
+            )
+
+    merge = lambda chunks: {
+        k: jnp.asarray(
+            onp.concatenate([c[k] for c in chunks], axis=1)
+        )
+        for k in chunks[0].keys()
+    } if chunks else {}
+    return {
+        "final_pos": q,
+        "final_step_size": step_size,
+        "final_metric": metric,
+        "call_counters": counters,
+        "traces": merge(traces_acc),
+        "stats": merge(stats_acc),
+        "timings": {},
+    }
 
 
 def sample_chmc_chains_host_loop(

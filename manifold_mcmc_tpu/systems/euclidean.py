@@ -65,14 +65,18 @@ def make_conditioned_diffusion_neg_log_dens(
         z = generate_z(u)
         sigma = generate_sigma(u)
         x_0 = generate_x_0(z, v_0)
-        v_seq = v_flat.reshape((num_step, dim_v))
+        # Scan per observation with the within-interval steps unrolled in
+        # the body: 1/num_steps_per_obs the sequential iterations (loop
+        # overhead dominates on TPU -- the per-step state is tiny).
+        v_by_obs = v_flat.reshape((num_obs, num_steps_per_obs, dim_v))
 
-        def body(x, v):
-            x_n = forward_func(z, x, v, delta)
-            return x_n, x_n
+        def body(x, v_obs):
+            for i in range(num_steps_per_obs):
+                x = forward_func(z, x, v_obs[i], delta)
+            return x, x
 
-        _, x_seq = lax.scan(body, x_0, v_seq)
-        y_mean = obs_func(x_seq[num_steps_per_obs - 1 :: num_steps_per_obs])
+        _, x_obs_states = lax.scan(body, x_0, v_by_obs)
+        y_mean = obs_func(x_obs_states)
         nld = 0.5 * jnp.sum(((y_seq - y_mean) / sigma) ** 2) + (
             num_obs * dim_y
         ) * jnp.log(sigma)

@@ -116,6 +116,16 @@ def add_hmc_experiment_args(parser):
         default="identity",
         help="Mass-matrix type adapted during warm-up",
     )
+    parser.add_argument(
+        "--hmc-driver",
+        choices=("auto", "ingraph", "host"),
+        default="auto",
+        help=(
+            "Chain driver: in-graph scans (one program per warm-up window) "
+            "or host loop (one bounded dispatch per iteration; default on "
+            "accelerators whose runtimes kill long device executions)"
+        ),
+    )
 
 
 def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
@@ -270,7 +280,10 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
     """Sample dynamic-HMC chains, persist the output contract, return summary."""
     import numpy as np
 
-    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains
+    from manifold_mcmc_tpu.samplers.chains import (
+        sample_hmc_chains,
+        sample_hmc_chains_host_loop,
+    )
     from manifold_mcmc_tpu.utils import stats as diag
     from manifold_mcmc_tpu.utils.output import (
         save_summary,
@@ -278,11 +291,13 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
         write_traces,
     )
 
-    start = time.time()
-    result = sample_hmc_chains(
-        system,
-        q_init,
-        jax.random.PRNGKey(args.seed),
+    driver = getattr(args, "hmc_driver", "auto")
+    if driver == "auto":
+        # Accelerator runtimes behind an execution watchdog cannot run the
+        # in-graph driver's whole-window programs; the host loop dispatches
+        # one bounded iteration at a time (same sampling semantics).
+        driver = "host" if jax.default_backend() != "cpu" else "ingraph"
+    common = dict(
         num_warm_up_iter=args.num_warm_up_iter,
         num_main_iter=args.num_main_iter,
         max_tree_depth=args.max_tree_depth,
@@ -292,6 +307,22 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
         dim_param=getattr(args, "dim_param", None),
         trace_func=trace_func,
     )
+    start = time.time()
+    if driver == "host":
+        result = sample_hmc_chains_host_loop(
+            system,
+            q_init,
+            jax.random.PRNGKey(args.seed),
+            progress_every=50,
+            **common,
+        )
+    else:
+        result = sample_hmc_chains(
+            system,
+            q_init,
+            jax.random.PRNGKey(args.seed),
+            **common,
+        )
     jax.block_until_ready(result["final_pos"])
     sampling_time = time.time() - start
     traces = {k: np.asarray(v) for k, v in result["traces"].items()}
