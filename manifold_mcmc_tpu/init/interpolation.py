@@ -54,16 +54,26 @@ def find_initial_state_by_linear_interpolation(
 
         return step_diff(v0), jax.jacobian(step_diff)(v0)
 
+    def solve(A, b):
+        # Tiny systems (n <= 3, all shipped models) use the closed-form
+        # element-wise solve on accelerators; XLA's loop-based batched LU
+        # pads each matrix to a hardware tile and dominated the init cost.
+        if A.shape[-1] <= 3 and jax.default_backend() != "cpu":
+            from manifold_mcmc_tpu.ops.smallchol import solve_small
+
+            return solve_small(A, b)
+        return jnp.linalg.solve(A, b)
+
     def least_squares(J, b):
         # Minimum-norm / least-squares solve without SVD (TPU-friendly):
         # square -> direct solve; wide full-row-rank -> J^T (J J^T)^-1 b;
         # tall -> normal equations.
         m, n = J.shape
         if m == n:
-            return jnp.linalg.solve(J, b)
+            return solve(J, b)
         if m < n:
-            return J.T @ jnp.linalg.solve(J @ J.T, b)
-        return jnp.linalg.solve(J.T @ J, J.T @ b)
+            return J.T @ solve(J @ J.T, b)
+        return solve(J.T @ J, J.T @ b)
 
     def solve_interval(x_start, x_end):
         dx = (x_end - x_start) / S

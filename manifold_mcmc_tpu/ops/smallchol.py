@@ -134,6 +134,47 @@ def cho_solve_small(L, b):
     return solve_upper_small(jnp.swapaxes(L, -1, -2), y)
 
 
+def solve_small(A, b):
+    """Direct solve of tiny (n <= 3) general systems via adjugate formulas.
+
+    ``A``: (..., n, n), ``b``: (..., n).  Pure element-wise arithmetic over
+    the batch (no pivoting -- intended for well-conditioned model noise
+    Jacobians); falls back to ``jnp.linalg.solve`` for n > 3.
+    """
+    n = A.shape[-1]
+    if n == 1:
+        return b / A[..., 0, 0][..., None]
+    if n == 2:
+        a, c = A[..., 0, 0], A[..., 1, 0]
+        bb, d = A[..., 0, 1], A[..., 1, 1]
+        det = a * d - bb * c
+        x0 = (d * b[..., 0] - bb * b[..., 1]) / det
+        x1 = (a * b[..., 1] - c * b[..., 0]) / det
+        return jnp.stack([x0, x1], axis=-1)
+    if n == 3:
+        m = _unstack(A)
+        c00 = m[1][1] * m[2][2] - m[1][2] * m[2][1]
+        c01 = m[0][2] * m[2][1] - m[0][1] * m[2][2]
+        c02 = m[0][1] * m[1][2] - m[0][2] * m[1][1]
+        c10 = m[1][2] * m[2][0] - m[1][0] * m[2][2]
+        c11 = m[0][0] * m[2][2] - m[0][2] * m[2][0]
+        c12 = m[0][2] * m[1][0] - m[0][0] * m[1][2]
+        c20 = m[1][0] * m[2][1] - m[1][1] * m[2][0]
+        c21 = m[0][1] * m[2][0] - m[0][0] * m[2][1]
+        c22 = m[0][0] * m[1][1] - m[0][1] * m[1][0]
+        det = m[0][0] * c00 + m[0][1] * c10 + m[0][2] * c20
+        b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+        return jnp.stack(
+            [
+                (c00 * b0 + c01 * b1 + c02 * b2) / det,
+                (c10 * b0 + c11 * b1 + c12 * b2) / det,
+                (c20 * b0 + c21 * b1 + c22 * b2) / det,
+            ],
+            axis=-1,
+        )
+    return jnp.linalg.solve(A, b)
+
+
 def log_diag_prod_small(L):
     """``sum_i log |L[..., i, i]|`` without materialising the diagonal."""
     n = L.shape[-1]

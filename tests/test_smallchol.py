@@ -98,3 +98,17 @@ def test_gradients_match_library(rng):
         rtol=1e-9,
         atol=1e-11,
     )
+
+
+@pytest.mark.parametrize("n", [1, 2, 3])
+def test_solve_small_matches_library(rng, n):
+    from manifold_mcmc_tpu.ops.smallchol import solve_small
+
+    A = jnp.asarray(rng.standard_normal((7, n, n))) + 2.0 * jnp.eye(n)
+    b = jnp.asarray(rng.standard_normal((7, n)))
+    np.testing.assert_allclose(
+        np.asarray(solve_small(A, b)),
+        np.asarray(jnp.linalg.solve(A, b[..., None])[..., 0]),
+        rtol=1e-9,
+        atol=1e-11,
+    )
