@@ -196,6 +196,14 @@ def main():
     common = dict(
         projection_solver=solver,
         max_tree_depth=max_tree_depth,
+        # Under vmap the projection while_loop runs to the MAX iteration
+        # count across all chains, so the batched step's wall time follows
+        # the cross-chain tail of solver iterations.  Capping the iterations
+        # (tried at 16) cuts that tail but truncates ~1/3 of trajectories
+        # (a transition makes ~2*2^depth projection solves, so even a 0.3%
+        # per-solve tail probability compounds) and measurably REDUCES
+        # ESS/sec -- the tail is intrinsic; keep the reference's cap.
+        max_solver_iters=int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50)),
         constraint_tol=tols["constraint_tol"],
         position_tol=tols["position_tol"],
         reverse_check_tol=tols["reverse_check_tol"],
