@@ -187,10 +187,11 @@ def main():
     # The checkpoint key must pin the FULL run configuration: resuming a
     # checkpoint from a different rung (or an older code version) would
     # silently skip sweeps or load an incompatible trace layout.
+    solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50))
     ckpt = os.environ.get(
         "MMT_BENCH_CKPT",
         f"/tmp/mmt_bench_v2_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
-        f"_d{max_tree_depth}_w{num_warm}_m{num_main}.npz",
+        f"_d{max_tree_depth}_w{num_warm}_m{num_main}_si{solver_iters_cap}.npz",
     )
 
     common = dict(
@@ -203,7 +204,7 @@ def main():
         # (a transition makes ~2*2^depth projection solves, so even a 0.3%
         # per-solve tail probability compounds) and measurably REDUCES
         # ESS/sec -- the tail is intrinsic; keep the reference's cap.
-        max_solver_iters=int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50)),
+        max_solver_iters=solver_iters_cap,
         constraint_tol=tols["constraint_tol"],
         position_tol=tols["position_tol"],
         reverse_check_tol=tols["reverse_check_tol"],
