@@ -24,9 +24,20 @@ and the implied CPU ESS/sec is ``ess_per_step_tpu / tau_step_cpu``.
 Robustness: the tunnelled TPU worker can fault under load, so the parent
 process walks a degradation ladder -- chains, then sequence length / steps /
 tree depth -- retrying each rung in a child process (compiles are reused via
-the persistent compilation cache), and prints the first successful JSON line
-before any optional refinement.  An overall deadline (MMT_BENCH_DEADLINE,
-seconds) guarantees a result is printed before the driver's timeout.
+the persistent compilation cache).  Three guarantees make a result land
+inside an unknown driver budget (the round-1 failure mode was a successful
+rung whose result was withheld while a second rung burned the clock):
+
+1. the FIRST successful measurement is printed immediately and the process
+   exits -- no refinement afterwards;
+2. each child receives an absolute wall-clock deadline
+   (``MMT_BENCH_DEADLINE_TS``) threaded into the host-loop driver, which
+   stops dispatching sweeps in time to report a result computed on the
+   completed prefix (>= MIN_MAIN_SWEEPS main sweeps) instead of dying with
+   nothing;
+3. progress is checkpointed every few sweeps under a config-keyed path, so
+   retries -- and entirely separate invocations -- resume completed sweeps
+   instead of restarting.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
@@ -63,14 +74,18 @@ import numpy as np  # noqa: E402
 # main); later rungs are the degradation path proven in earlier rounds.
 RUNGS = [
     (1024, 100, 25, 5, 6, 48, 96),
-    (1024, 100, 25, 5, 5, 48, 96),
     (512, 100, 25, 5, 6, 48, 96),
     (256, 100, 25, 5, 6, 40, 64),
-    (1024, 100, 25, 5, 3, 32, 48),
     (64, 100, 25, 5, 6, 32, 64),
     (64, 25, 10, 5, 5, 32, 64),
     (32, 25, 10, 5, 4, 16, 32),
 ]
+
+# A result computed on at least this many completed main sweeps (2 CHMC
+# iterations each) is considered reportable; the ESS estimate is rough on
+# such a short prefix but honest, and the headline tau_step ratio is not
+# length-sensitive.
+MIN_MAIN_SWEEPS = 8
 
 
 def _load_measured_baseline():
@@ -217,6 +232,7 @@ def main():
         init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.1)),
     )
 
+    deadline_ts = float(os.environ.get("MMT_BENCH_DEADLINE_TS", "inf"))
     t_run = time.time()
     if driver == "ingraph":
         # Flagship fully-on-device driver: warm-up and main stages are
@@ -238,11 +254,11 @@ def main():
         jax.block_until_ready(result["final_pos"])
         total_time = result["timings"]["main_exec_s"]
         skip_iters = 0
+        partial = False
+        n_main_done = num_main
     else:
-        # Host-loop driver: per-sweep dispatch, crash-durable checkpoints.
-        # The first main sweep compiles its executable; its wall time is
-        # excluded from the measurement (and its iterations from the step
-        # counts below).
+        # Host-loop driver: per-sweep dispatch, crash-durable checkpoints,
+        # deadline-aware (returns the completed prefix instead of dying).
         result = sample_chmc_chains_host_loop(
             system,
             q_init,
@@ -253,18 +269,44 @@ def main():
             checkpoint_path=ckpt,
             checkpoint_every=8,
             progress_every=8,
+            deadline_ts=deadline_ts if np.isfinite(deadline_ts) else None,
             **common,
         )
         jax.block_until_ready(result["final_pos"])
+        n_main_done = result["n_main_sweeps_done"]
+        partial = n_main_done < result["n_main_sweeps"]
+        if n_main_done < MIN_MAIN_SWEEPS:
+            # Not enough completed sweeps for an honest estimate; the
+            # checkpoint holds the progress for the next attempt to resume.
+            sys.stderr.write(
+                f"[bench] deadline with only {n_main_done} main sweeps; "
+                "progress checkpointed for resume\n"
+            )
+            return 3
         main_times = result["timings"]["main_sweep_s"]
-        if len(main_times) > 1:
-            total_time = sum(main_times[1:])
-            skip_iters = num_partition
-        else:
-            total_time = sum(main_times)
-            skip_iters = 0
+        # Per-sweep cost estimated from THIS process's dispatches, excluding
+        # the first (it pays the executable load/compile); the total run time
+        # extrapolates that rate over every accumulated sweep (resumed sweeps
+        # executed at the same rate in an earlier process).
+        timed = main_times[1:] if len(main_times) > 1 else main_times
+        if not timed:
+            # Resumed a checkpoint that was already complete: no fresh sweep
+            # to time.  Fall back to warm-sweep cost (same program shape); if
+            # even that is absent the checkpoint is unusable for timing --
+            # drop it so the next attempt measures fresh.
+            timed = result["timings"]["warm_sweep_s"][1:]
+        if not timed:
+            if os.path.exists(ckpt):
+                os.remove(ckpt)
+            sys.stderr.write("[bench] no timed sweeps; checkpoint dropped\n")
+            return 4
+        per_sweep = float(np.median(timed))
+        total_time = per_sweep * n_main_done
+        skip_iters = 0
     wall_time_all = time.time() - t_run
-    compile_time = wall_time_all - total_time  # compiles + warm-up sweeps
+    compile_time = wall_time_all - sum(
+        result["timings"].get("main_sweep_s", [total_time])
+    )  # compiles + warm-up sweeps
 
     traces = {
         k: np.asarray(result["traces"][k])[:, skip_iters:]
@@ -315,6 +357,8 @@ def main():
         "num_chains": num_chains,
         "num_warm_up_iter": num_warm,
         "num_main_iter": num_main,
+        "num_main_iter_completed": int(traces["sigma"].shape[1]),
+        "partial": partial,
         "driver": driver,
         "config": {
             "T": T,
@@ -326,14 +370,20 @@ def main():
         "final_step_size": round(float(result["final_step_size"]), 5),
         "device": str(jax.devices()[0]),
     }
-    print(json.dumps(out))
-    # A completed measurement's checkpoint must not leak into future runs.
-    if ckpt and os.path.exists(ckpt):
+    print(json.dumps(out), flush=True)
+    # A COMPLETED measurement's checkpoint must not leak into future runs; a
+    # partial one is kept so the next invocation resumes the remaining sweeps.
+    if not partial and ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
+    return 0
 
 
 def _attempt(env, timeout_s):
     """Run one child measurement; return the parsed JSON line or None."""
+    env = dict(env)
+    # Absolute deadline for the child's host loop: leave margin under the
+    # subprocess kill so the child always gets to print what it measured.
+    env["MMT_BENCH_DEADLINE_TS"] = str(time.time() + timeout_s - 30.0)
     try:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -355,7 +405,8 @@ def _attempt(env, timeout_s):
     )
     if line is None:
         sys.stderr.write(
-            f"[bench] child failed (rc={proc.returncode}); stderr tail:\n"
+            f"[bench] child finished without a result (rc={proc.returncode});"
+            " stderr tail:\n"
             + "\n".join(proc.stderr.splitlines()[-5:])
             + "\n"
         )
@@ -365,13 +416,13 @@ def _attempt(env, timeout_s):
 def _run_ladder():
     """Walk the degradation ladder until one measurement lands.
 
-    Guarantees: if any rung can complete within the deadline, ONE JSON line
-    is printed and the process exits 0.  After a first success, further
-    rungs are attempted only while ample budget remains; the best result
-    (highest ess/s) is printed.  The persistent compilation cache makes
-    retries cheap.
+    The FIRST successful measurement is printed immediately and the process
+    exits 0 -- an unknown external budget means a held-back result is a lost
+    result (the round-1 failure).  Failed/timed-out attempts retry the same
+    rung first (checkpoint resume makes retries pick up where the last one
+    stopped) before degrading.
     """
-    deadline = float(os.environ.get("MMT_BENCH_DEADLINE", 3300))
+    deadline = float(os.environ.get("MMT_BENCH_DEADLINE", 1500))
     t_start = time.time()
     env = dict(os.environ)
     env["MMT_BENCH_CHILD"] = "1"
@@ -380,7 +431,6 @@ def _run_ladder():
     def remaining():
         return deadline - (time.time() - t_start)
 
-    results = []
     for rung_idx in range(start_rung, len(RUNGS)):
         chains, T, S, R, depth, warm, main = RUNGS[rung_idx]
         env.update(
@@ -392,13 +442,13 @@ def _run_ladder():
             MMT_BENCH_WARM=str(warm),
             MMT_BENCH_MAIN=str(main),
         )
-        attempts = 1 if results else 2
-        for attempt in range(attempts):
-            if remaining() < (1200 if results else 240):
-                break
+        for attempt in range(3):
+            if remaining() < 180:
+                sys.stderr.write("[bench] out of budget\n")
+                return 1
             budget = min(
-                remaining() - 60,
-                float(os.environ.get("MMT_BENCH_CHILD_TIMEOUT", 2400)),
+                remaining() - 20,
+                float(os.environ.get("MMT_BENCH_CHILD_TIMEOUT", 1380)),
             )
             sys.stderr.write(
                 f"[bench] rung {rung_idx} attempt {attempt + 1}: "
@@ -407,16 +457,10 @@ def _run_ladder():
             )
             line = _attempt(env, budget)
             if line is not None:
-                results.append(json.loads(line))
-                break
-        if remaining() < (1200 if results else 240):
-            break
-    if not results:
-        sys.stderr.write("[bench] no rung succeeded within the deadline\n")
-        return 1
-    best = max(results, key=lambda r: r.get("value", 0.0))
-    print(json.dumps(best))
-    return 0
+                print(line, flush=True)
+                return 0
+    sys.stderr.write("[bench] no rung succeeded within the deadline\n")
+    return 1
 
 
 if __name__ == "__main__":

@@ -206,6 +206,7 @@ def make_constraint_functions(
     generate_z,
     obs_func,
     generate_sigma=None,
+    scan_unroll=None,
 ):
     """Build the constraint / Jacobian closures for a conditioned diffusion.
 
@@ -223,8 +224,14 @@ def make_constraint_functions(
     S = layout.num_steps_per_obs
     y_seq = jnp.asarray(y_seq)
 
-    import os as _os
-    _unroll = int(_os.environ.get("MMT_SCAN_UNROLL", "1"))
+    # The forward-scan unroll factor changes the compiled program (a
+    # performance knob, not semantics); it is an explicit factory argument
+    # so callers can pin it, with the env var only supplying the default.
+    if scan_unroll is None:
+        import os as _os
+
+        scan_unroll = int(_os.environ.get("MMT_SCAN_UNROLL", "1"))
+    _unroll = scan_unroll
 
     def step_scan(z, x_0, v_seq):
         def body(x, v):

@@ -49,9 +49,22 @@ __all__ = [
 def _use_unrolled(n):
     """Unrolled tiny-matrix path: on accelerators XLA's loop-based batched
     cholesky/solves are ~100x off the roofline for n <= ~16; on CPU the
-    library kernels are fast and the unrolled op DAG only bloats compiles."""
+    library kernels are fast and the unrolled op DAG only bloats compiles.
+
+    ``jax.default_backend()`` is the process default, not necessarily where
+    the traced computation executes, so ``MMT_SMALLCHOL`` overrides the
+    heuristic: "on" forces the unrolled path (lets CPU CI integration-test
+    the production accelerator dispatch), "off" forces the library kernels,
+    unset/"auto" keeps the backend heuristic."""
+    import os
+
     import jax
 
+    mode = os.environ.get("MMT_SMALLCHOL", "auto")
+    if mode == "on":
+        return n <= smallchol.MAX_UNROLL_DIM
+    if mode == "off":
+        return False
     return n <= smallchol.MAX_UNROLL_DIM and jax.default_backend() != "cpu"
 
 

@@ -134,14 +134,43 @@ def cho_solve_small(L, b):
     return solve_upper_small(jnp.swapaxes(L, -1, -2), y)
 
 
+def _det_small(A):
+    """Determinant of (..., n, n) for n <= 3, unrolled."""
+    n = A.shape[-1]
+    if n == 1:
+        return A[..., 0, 0]
+    if n == 2:
+        return A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    m = _unstack(A)
+    return (
+        m[0][0] * (m[1][1] * m[2][2] - m[1][2] * m[2][1])
+        + m[0][1] * (m[1][2] * m[2][0] - m[1][0] * m[2][2])
+        + m[0][2] * (m[1][0] * m[2][1] - m[1][1] * m[2][0])
+    )
+
+
 def solve_small(A, b):
     """Direct solve of tiny (n <= 3) general systems via adjugate formulas.
 
     ``A``: (..., n, n), ``b``: (..., n).  Pure element-wise arithmetic over
-    the batch (no pivoting -- intended for well-conditioned model noise
-    Jacobians); falls back to ``jnp.linalg.solve`` for n > 3.
+    the batch (no pivoting); falls back to ``jnp.linalg.solve`` for n > 3.
+
+    Near-singular batch elements (|det| below a scale-aware floor -- e.g. a
+    degenerate noise Jacobian at a poor interpolation point) get a small
+    Tikhonov shift ``A + mu I`` instead of dividing by a vanishing
+    determinant, so the result degrades gracefully (finite, approximately
+    minimum-norm) rather than to inf/nan, matching how callers using
+    ``jnp.linalg.solve`` behaved.
     """
     n = A.shape[-1]
+    if n > 3:
+        return jnp.linalg.solve(A, b)
+    eps = jnp.finfo(A.dtype).eps
+    scale = jnp.max(jnp.abs(A), axis=(-1, -2)) + eps
+    det = _det_small(A)
+    floor = (jnp.sqrt(eps) * scale) ** n
+    mu = jnp.where(jnp.abs(det) < floor, jnp.sqrt(eps) * scale, 0.0)
+    A = A + mu[..., None, None] * jnp.eye(n, dtype=A.dtype)
     if n == 1:
         return b / A[..., 0, 0][..., None]
     if n == 2:

@@ -696,6 +696,7 @@ def sample_hmc_chains_host_loop(
     dim_param=None,
     trace_func=None,
     init_step_size=0.5,
+    find_init_step_size=True,
     progress_every=0,
 ):
     """HMC driver with a *host-side* iteration loop (bounded dispatches).
@@ -705,8 +706,11 @@ def sample_hmc_chains_host_loop(
     windows and cross-chain Welford merges) but each device dispatch is ONE
     vmapped iteration, so no program's execution time grows with the
     warm-up schedule -- required on accelerator runtimes that kill long
-    device executions (see the CHMC host loop).  There is no in-graph
-    step-size search; dual averaging adapts from ``init_step_size``.
+    device executions (see the CHMC host loop).  With
+    ``find_init_step_size`` (default, matching :func:`sample_hmc_chains`)
+    a bounded per-chain doubling search seeds dual averaging, consuming the
+    identical RNG stream as the in-graph driver's search stage so the two
+    drivers produce bitwise-identical trajectories given the same arguments.
     """
     import time as _time
 
@@ -774,10 +778,28 @@ def sample_hmc_chains_host_loop(
 
     q = init_pos
     keys = _split_keys(key, num_chains)
-    da = jax.vmap(ad.dual_averaging_init)(
-        jnp.full((num_chains,), init_step_size, dtype)
-    )
     metric = IdentityMetric()
+    init_eps = jnp.full((num_chains,), init_step_size, dtype)
+    if find_init_step_size and num_warm_up_iter > 0:
+        # Mirrors the in-graph driver's ``stage_init`` (same per-chain key
+        # split, momentum draw and doubling search), so both drivers consume
+        # identical RNG streams.
+        @jax.jit
+        def search_stage(init_pos, keys, init_eps):
+            def init_chain(q0, chain_key, eps0):
+                k_mom, k_run = _split_keys(chain_key, 2)
+                point = integ.init(q0, jnp.zeros_like(q0), metric)
+                point = point._replace(
+                    mom=integ.sample_momentum(k_mom, point, metric)
+                )
+                eps = find_reasonable_step_size(integ, metric, point, eps0)
+                return ad.dual_averaging_init(eps), k_run
+
+            return jax.vmap(init_chain)(init_pos, keys, init_eps)
+
+        da, keys = search_stage(q, keys, init_eps)
+    else:
+        da = jax.vmap(ad.dual_averaging_init)(init_eps)
     wf = fresh_welford()
     t_start = _time.time()
     done = 0
@@ -862,6 +884,7 @@ def sample_chmc_chains_host_loop(
     checkpoint_path=None,
     checkpoint_every=16,
     progress_every=0,
+    deadline_ts=None,
 ):
     """CHMC driver with a *host-side* sweep loop and crash-durable checkpoints.
 
@@ -879,8 +902,18 @@ def sample_chmc_chains_host_loop(
     no in-graph step-size search; dual averaging adapts from
     ``init_step_size``.
 
+    ``deadline_ts`` (absolute ``time.time()`` seconds, optional) makes the
+    loop *deadline-aware*: before dispatching each sweep the remaining wall
+    clock is checked against the recent per-sweep cost, and on expiry the
+    driver checkpoints and returns whatever has completed (``deadline_hit``
+    True in the result) instead of being killed mid-flight with nothing --
+    callers compute diagnostics on the completed prefix and a later
+    invocation resumes from the checkpoint.
+
     The result includes ``timings``: wall seconds per warm-up / main sweep
-    (first element of each list includes that executable's compile).
+    (first element of each list includes that executable's compile), plus
+    ``n_warm_sweeps_done`` / ``n_main_sweeps_done`` cumulative across
+    resumes and the ``deadline_hit`` flag.
     """
     import os as _os
     import time as _time
@@ -1034,11 +1067,31 @@ def sample_chmc_chains_host_loop(
 
     warm_times, main_times = [], []
     t_start = _time.time()
-    for sweep in range(min(start_sweep, n_warm_sweeps), n_warm_sweeps):
+    deadline_hit = False
+
+    def out_of_time():
+        """True when the next sweep would overrun the deadline.
+
+        Budgets the *next* sweep at the cost of the most recent one (compile
+        skews the first, so the estimate is conservative only there) plus a
+        checkpoint-save allowance.
+        """
+        if deadline_ts is None:
+            return False
+        recent = warm_times[-1:] + main_times[-1:]
+        per_sweep = max(recent) if recent else 30.0
+        return _time.time() + 1.1 * per_sweep + 15.0 > deadline_ts
+
+    warm_done = min(start_sweep, n_warm_sweeps)
+    for sweep in range(warm_done, n_warm_sweeps):
+        if out_of_time():
+            deadline_hit = True
+            break
         t0 = _time.time()
         q, x_obs, da, keys = warm_sweep(q, x_obs, da, keys)
         jax.block_until_ready(q)
         warm_times.append(_time.time() - t0)
+        warm_done = sweep + 1
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
             step_size = ad.dual_averaging_finalize(da)
             save(sweep + 1)
@@ -1049,8 +1102,15 @@ def sample_chmc_chains_host_loop(
                 flush=True,
             )
     step_size = ad.dual_averaging_finalize(da)
+    if deadline_hit:
+        save(warm_done)
 
-    for sweep in range(max(start_sweep - n_warm_sweeps, 0), n_main_sweeps):
+    main_done = max(start_sweep - n_warm_sweeps, 0)
+    for sweep in range(main_done, n_main_sweeps if not deadline_hit else main_done):
+        if out_of_time():
+            deadline_hit = True
+            save(n_warm_sweeps + sweep)
+            break
         t0 = _time.time()
         q, x_obs, keys, counters, traces, stats = main_sweep(
             q, x_obs, step_size, keys, counters
@@ -1065,6 +1125,7 @@ def sample_chmc_chains_host_loop(
             {k: onp.asarray(v)[:, None] for k, v in stats.items()}
         )
         main_times.append(_time.time() - t0)
+        main_done = sweep + 1
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
             save(n_warm_sweeps + sweep + 1)
         if progress_every and (sweep + 1) % progress_every == 0:
@@ -1089,4 +1150,9 @@ def sample_chmc_chains_host_loop(
         "traces": concat_chunks(trace_chunks),
         "stats": concat_chunks(stats_chunks),
         "timings": {"warm_sweep_s": warm_times, "main_sweep_s": main_times},
+        "n_warm_sweeps_done": warm_done,
+        "n_main_sweeps_done": main_done,
+        "n_warm_sweeps": n_warm_sweeps,
+        "n_main_sweeps": n_main_sweeps,
+        "deadline_hit": deadline_hit,
     }

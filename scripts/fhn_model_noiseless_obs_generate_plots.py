@@ -70,6 +70,7 @@ for exp_dir in sorted(glob.glob(str(root / "R_*_S_*_T_*"))):
         ess = summary.get("ess_bulk", {}).get(p)
         if ess:
             row[f"tau_eff_{p}"] = summary["total_sampling_time"] / ess
+        row[f"r_hat_{p}"] = summary.get("r_hat", {}).get(p, np.nan)
     rows.append(row)
 
 if not rows:
@@ -117,12 +118,40 @@ for grid_var, fixed in (("R", ("S", "T")), ("S", ("R", "T")), ("T", ("R", "S")))
     for p in args.params:
         col = f"tau_eff_{p}"
         if col in sub:
-            axes[2].plot(x, g[col].median().values, "o-", label=p)
+            (line,) = axes[2].plot(x, g[col].median().values, "o-", label=p)
+            # R-hat > 1.01 runs marked with crosses (reference
+            # ``fhn_model_noisy_obs_generate_plots.py:69-76`` flagging).
+            bad = sub[sub[f"r_hat_{p}"] > 1.01]
+            if len(bad):
+                axes[2].plot(
+                    bad[grid_var], bad[col], "x", color=line.get_color(), ms=8
+                )
     axes[2].set(
         xscale="log", yscale="log", xlabel=grid_var, ylabel="time per eff. sample (s)"
     )
     axes[2].legend(fontsize=7)
     fig.tight_layout()
     out = args.output_dir / f"fhn_noiseless_chmc_vs_{grid_var}.pdf"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+# Splitting comparison: standard vs Gaussian splitting tau_eff overlay when
+# both are present (the reference grid drivers loop over both splittings).
+if df.splitting.nunique() > 1:
+    fig, axes = plt.subplots(
+        1, len(args.params), sharey=True, figsize=(3 * len(args.params), 2.6)
+    )
+    for j, p in enumerate(args.params):
+        col = f"tau_eff_{p}"
+        for i, (split, sub) in enumerate(df.groupby("splitting")):
+            if col not in sub:
+                continue
+            g = sub.groupby("R")[col].median()
+            axes[j].plot(g.index, g.values, "o:", color=f"C{i}", label=split)
+        axes[j].set(title=p, xscale="log", yscale="log", xlabel="R")
+    axes[0].set_ylabel("time per eff. sample (s)")
+    axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    out = args.output_dir / "fhn_noiseless_chmc_splitting_comparison.pdf"
     fig.savefig(out)
     print(f"wrote {out}")

@@ -53,6 +53,7 @@ def collect(subdir, algorithm):
                     "tau_eff": summary["total_sampling_time"] / ess,
                     "r_hat": rhat,
                     "converged": rhat <= 1.01,
+                    "dir": exp_dir,
                 }
             )
     return rows
@@ -84,3 +85,49 @@ fig.tight_layout()
 out = args.output_dir / "fhn_noisy_chmc_vs_hmc.pdf"
 fig.savefig(out)
 print(f"wrote {out}")
+
+# Per-parameter tau_eff panels vs sigma_y with R-hat > 1.01 cross markers
+# (reference ``fhn_model_noisy_obs_generate_plots.py:62-91``).
+fig, axes = plt.subplots(
+    1, len(args.params), sharex=True, sharey=True, figsize=(3 * len(args.params), 2.6)
+)
+for j, p in enumerate(args.params):
+    sub_p = df[df.param == p]
+    for i, (algo, sub) in enumerate(sub_p.groupby("algorithm")):
+        g = sub.groupby("sigma_y")["tau_eff"].median()
+        axes[j].plot(g.index, g.values, "o:", color=f"C{i}", label=algo)
+        bad = sub[~sub.converged]
+        if len(bad):
+            axes[j].plot(bad.sigma_y, bad.tau_eff, "x", color=f"C{i}", ms=6)
+    axes[j].set(title=p, xscale="log", yscale="log", xlabel="σ_y")
+axes[0].set_ylabel("time per eff. sample (s)")
+axes[0].legend(fontsize=7)
+fig.tight_layout()
+out = args.output_dir / "fhn_noisy_tau_eff_per_param.pdf"
+fig.savefig(out)
+print(f"wrote {out}")
+
+# Posterior overlays: the same posterior sampled by the two independent
+# algorithms must agree (the reference's cross-implementation validation
+# role, filled by its Julia bridge baseline overlay).
+for sigma_y, sub in df.groupby("sigma_y"):
+    dirs = {a: s["dir"].iloc[-1] for a, s in sub.groupby("algorithm") if "dir" in s}
+    if len(dirs) < 2:
+        continue
+    fig, axes = plt.subplots(
+        1, len(args.params), figsize=(3 * len(args.params), 2.6)
+    )
+    for j, p in enumerate(args.params):
+        for algo, d in sorted(dirs.items()):
+            files = glob.glob(os.path.join(d, f"trace_*_{p}.npy"))
+            if not files:
+                continue
+            draws = np.concatenate([np.load(f) for f in files])
+            axes[j].hist(draws, bins=40, density=True, alpha=0.5, label=algo)
+        axes[j].set_title(p)
+        axes[j].set_yticks([])
+    axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    out = args.output_dir / f"fhn_noisy_posterior_sigma_{sigma_y}.pdf"
+    fig.savefig(out)
+    print(f"wrote {out}")

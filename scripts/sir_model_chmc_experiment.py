@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from manifold_mcmc_tpu.init.optimization import (
-    find_initial_state_by_gradient_descent_noisy_system,
+    find_initial_states_by_gradient_descent_noisy_system,
 )
 from manifold_mcmc_tpu.models import sir
 from manifold_mcmc_tpu.systems.constrained import (
@@ -92,18 +92,21 @@ def trace_func(q):
     return out
 
 
-# Initialise each chain by gradient descent + residual absorption.
-q_list, x_obs_list = [], []
+# Initialise the whole fleet by one chain-vmapped gradient-descent loop with
+# residual absorption (one jitted program, not one host loop per chain --
+# essential at 256+ chains through a high-latency accelerator tunnel).
 key = jax.random.PRNGKey(args.seed + 1)
-for c in range(args.num_chain):
-    key, k = jax.random.split(key)
-    q_c, x_obs_c = find_initial_state_by_gradient_descent_noisy_system(system, k)
-    c_val = float(jnp.abs(system.constr(q_c, x_obs_c, 0)).max())
-    assert c_val < 1e-4, f"chain {c} init off manifold: |c|={c_val:.2e}"
-    q_list.append(q_c)
-    x_obs_list.append(x_obs_c)
-q_init = jnp.stack(q_list).astype(dtype)
-x_obs_init = jnp.stack(x_obs_list).astype(dtype)
+q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
+    system, key, num_chains=args.num_chain
+)
+q_init = q_init.astype(dtype)
+x_obs_init = x_obs_init.astype(dtype)
+c_val = float(
+    jnp.abs(
+        jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
+    ).max()
+)
+assert c_val < 1e-4, f"init off manifold: max|c|={c_val:.2e}"
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(

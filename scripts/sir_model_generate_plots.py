@@ -74,6 +74,41 @@ fig.tight_layout()
 fig.savefig(args.output_dir / "sir_tau_eff.pdf")
 print(f"wrote {args.output_dir / 'sir_tau_eff.pdf'}")
 
+# Per-parameter tau_eff panels vs sigma_y with R-hat > 1.01 cross markers
+# (reference ``sir_model_generate_plots.py:252-289``).
+fixed_noise = df[df.sigma_y > 0]
+if fixed_noise.sigma_y.nunique() > 1:
+    fig, axes = plt.subplots(
+        1,
+        len(args.params),
+        sharex=True,
+        sharey=True,
+        figsize=(3 * len(args.params), 2.6),
+    )
+    for j, p in enumerate(args.params):
+        sub_p = fixed_noise[fixed_noise.param == p]
+        for i, (algo, sub) in enumerate(sub_p.groupby("algorithm")):
+            g = sub.groupby("sigma_y")["tau_eff"].median()
+            axes[j].plot(g.index, g.values, "o:", color=f"C{i}", label=algo)
+            bad = sub[sub.r_hat > 1.01]
+            if len(bad):
+                axes[j].plot(bad.sigma_y, bad.tau_eff, "x", color=f"C{i}", ms=6)
+        axes[j].set(title=p, xscale="log", yscale="log", xlabel="σ_y")
+    axes[0].set_ylabel("time per eff. sample (s)")
+    axes[0].legend(fontsize=7)
+    fig.tight_layout()
+    out = args.output_dir / "sir_tau_eff_per_param.pdf"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+
+def load_param_draws(exp_dir, p):
+    files = sorted(glob.glob(os.path.join(exp_dir, f"trace_*_{p}.npy")))
+    if not files:
+        return None
+    return np.concatenate([np.load(f) for f in files])
+
+
 # Posterior histogram overlays: CHMC vs HMC at each noise level (the two
 # independent algorithms must agree -- cross-validation of the posterior).
 for sigma_y, sub in df.groupby("sigma_y"):
@@ -83,14 +118,61 @@ for sigma_y, sub in df.groupby("sigma_y"):
     fig, axes = plt.subplots(1, len(args.params), figsize=(3 * len(args.params), 2.8))
     for j, p in enumerate(args.params):
         for algo, d in dirs.items():
-            files = glob.glob(os.path.join(d, f"trace_*_{p}.npy"))
-            if not files:
+            draws = load_param_draws(d, p)
+            if draws is None:
                 continue
-            draws = np.concatenate([np.load(f) for f in files])
             axes[j].hist(draws, bins=40, density=True, alpha=0.5, label=algo)
         axes[j].set_title(p)
     axes[0].legend(fontsize=7)
     fig.tight_layout()
     out = args.output_dir / f"sir_posterior_sigma_{sigma_y}.pdf"
+    fig.savefig(out)
+    print(f"wrote {out}")
+
+# Pair plots: lower-triangular scatter matrix over the parameters, both
+# algorithms overlaid (reference ``sir_model_generate_plots.py:163-197``;
+# heavy-tailed params are log-transformed there -- mirrored via dict below).
+log_transform = {"γ", "ϵ", "σ_y"}
+for sigma_y, sub in df.groupby("sigma_y"):
+    dirs = {a: s["dir"].iloc[0] for a, s in sub.groupby("algorithm")}
+    if not dirs:
+        continue
+    k = len(args.params)
+    fig, axes = plt.subplots(k, k, figsize=(2 * k, 2 * k), dpi=120)
+    for i_alg, (algo, d) in enumerate(sorted(dirs.items())):
+        draws = {}
+        for p in args.params:
+            arr = load_param_draws(d, p)
+            if arr is not None:
+                arr = arr.reshape(-1)
+                draws[p] = np.log(arr) if p in log_transform else arr
+        names = [p for p in args.params if p in draws]
+        for r in range(k):
+            for c in range(k):
+                ax = axes[r, c]
+                if r < c or r >= len(names) or c >= len(names):
+                    ax.set_visible(False)
+                    continue
+                pr, pc = names[r], names[c]
+                lab = lambda p: f"log {p}" if p in log_transform else p
+                if r == c:
+                    ax.hist(
+                        draws[pr], bins=40, density=True, alpha=0.5,
+                        color=f"C{i_alg}", label=algo,
+                    )
+                    ax.set_yticks([])
+                else:
+                    sl = slice(None, None, max(1, len(draws[pc]) // 4000))
+                    ax.plot(
+                        draws[pc][sl], draws[pr][sl], ".", ms=1,
+                        color=f"C{i_alg}", alpha=0.4,
+                    )
+                if r == k - 1:
+                    ax.set_xlabel(lab(pc), fontsize=8)
+                if c == 0 and r > 0:
+                    ax.set_ylabel(lab(pr), fontsize=8)
+    axes[0, 0].legend(fontsize=7, loc="upper right")
+    fig.tight_layout(pad=0.4)
+    out = args.output_dir / f"sir_pair_plots_sigma_{sigma_y}.pdf"
     fig.savefig(out)
     print(f"wrote {out}")

@@ -329,3 +329,39 @@ def test_h2_flow_and_splittings(rng):
     np.testing.assert_allclose(
         q2 @ q2 + p2 @ p2, q @ q + p @ p, rtol=1e-12
     )
+
+
+def test_unrolled_smallchol_gram_path_on_cpu(rng, monkeypatch):
+    """MMT_SMALLCHOL=on forces the production accelerator dispatch (unrolled
+    tiny-matrix Cholesky/solves) so CPU CI integration-tests it through the
+    full Gram / log-det / projection pipeline, not just the smallchol
+    micro-oracles (advisor finding: backend-keyed dispatch was otherwise
+    never exercised off-TPU)."""
+    system = make_system()
+    q, x_obs_seq = random_point(system, rng)
+
+    def pipeline():
+        jac = system.jacob_constr_blocks(q, x_obs_seq, 0)
+        chol = system.chol_gram_blocks(jac)
+        (val, _), grad = system.grad_log_det_sqrt_gram(q, x_obs_seq, partition=0)
+        res = system.quasi_newton_projection(
+            q, x_obs_seq, jac, chol, 1.0, constraint_tol=1e-9
+        )
+        return val, grad, res.pos, res.converged
+
+    monkeypatch.setenv("MMT_SMALLCHOL", "off")
+    jax.clear_caches()
+    val_lib, grad_lib, pos_lib, ok_lib = pipeline()
+    monkeypatch.setenv("MMT_SMALLCHOL", "on")
+    jax.clear_caches()
+    val_unr, grad_unr, pos_unr, ok_unr = pipeline()
+    jax.clear_caches()
+
+    np.testing.assert_allclose(float(val_unr), float(val_lib), rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(grad_unr), np.asarray(grad_lib), rtol=1e-8, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(pos_unr), np.asarray(pos_lib), rtol=1e-7, atol=1e-9
+    )
+    assert bool(ok_unr) == bool(ok_lib)

@@ -207,6 +207,50 @@ def test_gradient_descent_noisy_init(rng):
     assert float(jnp.max(jnp.abs(c))) < 1e-8
 
 
+def test_batched_gradient_descent_init(rng):
+    from manifold_mcmc_tpu.init.optimization import (
+        find_initial_states_by_gradient_descent,
+    )
+
+    system, y_seq = make_fhn_system(rng)
+
+    def x_obs_init(key):
+        return jnp.concatenate(
+            [y_seq, 0.5 * jax.random.normal(key, y_seq.shape, y_seq.dtype)],
+            axis=-1,
+        )
+
+    qs, x_obss = find_initial_states_by_gradient_descent(
+        system,
+        jax.random.PRNGKey(2),
+        x_obs_init,
+        num_chains=4,
+        tol=1e-8,
+        max_iters=600,
+        block_iters=50,
+    )
+    assert qs.shape == (4, system.layout.dim_q)
+    cs = jax.vmap(lambda q, x: system.constr(q, x, 0))(qs, x_obss)
+    assert float(jnp.max(jnp.abs(cs))) < 1e-8
+    # Distinct chains got distinct draws.
+    assert float(jnp.std(qs[:, 0])) > 0
+
+
+def test_batched_gradient_descent_noisy_init(rng):
+    from manifold_mcmc_tpu.init.optimization import (
+        find_initial_states_by_gradient_descent_noisy_system,
+    )
+
+    system, _ = make_fhn_system(rng, noisy=True)
+    qs, x_obss = find_initial_states_by_gradient_descent_noisy_system(
+        system, jax.random.PRNGKey(3), num_chains=4, max_iters=600
+    )
+    assert qs.shape == (4, system.layout.dim_q)
+    cs = jax.vmap(lambda q, x: system.constr(q, x, 0))(qs, x_obss)
+    assert float(jnp.max(jnp.abs(cs))) < 1e-8
+    assert float(jnp.std(qs[:, 0])) > 0
+
+
 @pytest.mark.slow
 def test_checkpoint_resume_roundtrip(rng, tmp_path):
     from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains

@@ -166,6 +166,54 @@ def test_hmc_gaussian_moments(metric_type):
     assert float(result["final_step_size"]) > 0
 
 
+@pytest.mark.parametrize("metric_type", ["identity", "diagonal"])
+def test_hmc_host_loop_matches_ingraph_driver(metric_type):
+    """The HMC host-loop and in-graph drivers share the per-chain iteration
+    and (since the host loop gained the same search stage) the step-size
+    search's RNG stream, so identical inputs must give identical chains --
+    both with and without a metric adapter (Welford windows + merges)."""
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains_host_loop
+
+    system = EuclideanSystem(banana_free_nld)
+    num_chains, dim = 3, 4
+    init = jax.random.normal(jax.random.PRNGKey(5), (num_chains, dim))
+    kwargs = dict(
+        num_warm_up_iter=40,
+        num_main_iter=12,
+        max_tree_depth=4,
+        metric_type=metric_type,
+        init_step_size=0.7,
+        trace_func=lambda q: {"pos": q},
+    )
+    r_graph = sample_hmc_chains(
+        system, init, jax.random.PRNGKey(9), **kwargs
+    )
+    r_host = sample_hmc_chains_host_loop(
+        system, init, jax.random.PRNGKey(9), **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_graph["final_pos"]),
+        np.asarray(r_host["final_pos"]),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_graph["traces"]["pos"]),
+        np.asarray(r_host["traces"]["pos"]),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(r_graph["final_step_size"]),
+        float(r_host["final_step_size"]),
+        rtol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_graph["stats"]["n_step"]),
+        np.asarray(r_host["stats"]["n_step"]),
+    )
+
+
 def test_dual_averaging_finalize_unupdated():
     """With zero updates, finalize must return the initial step size (the
     host-loop resume path relies on this)."""
