@@ -67,3 +67,47 @@ def test_sharded_chmc_matches_single_device(rng):
     )
     # The sharded result actually lives across devices.
     assert len(sharded["final_pos"].sharding.device_set) == 8
+
+
+def test_sharded_welford_merge_matches_single_device(rng):
+    """The cross-chain Welford merge (``welford_merge_chains``, the adapter
+    path's only collective -- it lowers to an all-reduce over the mesh) must
+    produce the same pooled statistics and finalized metric whether the
+    per-chain states live on one device or sharded across 8.
+
+    (End-state comparison of a full adaptive HMC run is NOT a valid test
+    here: the sharded reduction may sum in a different order, and a 1-ulp
+    difference amplifies exponentially through the chaotic dynamics.)
+    """
+    from manifold_mcmc_tpu.samplers import adapters as ad
+
+    num_chains, n_draws, dim = 8, 50, 6
+    draws = jnp.asarray(rng.standard_normal((num_chains, n_draws, dim)))
+
+    @jax.jit
+    def pooled_metric(draws):
+        def per_chain(xs):
+            def upd(wf, x):
+                return ad.welford_update(wf, x), None
+
+            wf0 = ad.welford_init(dim, draws.dtype, diagonal=True)
+            return jax.lax.scan(upd, wf0, xs)[0]
+
+        wf = jax.vmap(per_chain)(draws)
+        merged = ad.welford_merge_chains(wf)
+        return merged, ad.finalize_variance_metric(merged).diag
+
+    plain_merged, plain_diag = pooled_metric(draws)
+    mesh = make_chain_mesh()
+    sh_merged, sh_diag = pooled_metric(shard_chain_inputs(mesh, draws))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(plain_merged),
+        jax.tree_util.tree_leaves(sh_merged),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(plain_diag), np.asarray(sh_diag), rtol=1e-12
+    )
+    # The merge's inputs really were distributed.
+    assert len(shard_chain_inputs(mesh, draws).sharding.device_set) == 8
