@@ -91,6 +91,84 @@ plt.xlabel("$t$"); plt.ylabel("$y$"); plt.title("observed sequence");
 """)
 
 add(M, """\
+## 1b. SDE integration schemes
+
+The model module's `forward_func` is built by a *step-function factory*
+(`ops/integrators.py`, mirroring the reference's symbolic factories at
+`sde/integrators.py:8-92` with JAX AD in place of SymPy): Euler–Maruyama,
+Milstein (diagonal/scalar noise), and the strong order 1.5 Taylor scheme
+(additive/scalar noise) that FHN uses. The higher-order terms come from the
+stochastic-calculus operators
+
+$$ L^0 = \\partial_t + a_k\\,\\partial_k + \\tfrac12 (BB^\\top)_{kl}\\,\\partial_k\\partial_l,
+ \\qquad L^j = B_{kj}\\,\\partial_k, $$
+
+implemented as `jvp`/Hessian-product compositions rather than symbolic
+differentiation.
+""")
+
+add(C, """\
+from manifold_mcmc_tpu.ops.integrators import euler_maruyama_step, milstein_step
+
+# Strong-convergence check on geometric Brownian motion, which has the
+# exact pathwise solution  X_t = X_0 exp((mu - sig^2/2) t + sig W_t):
+# integrate many Wiener paths at several resolutions and regress the mean
+# terminal error on the step size.  Slopes recover the schemes' strong
+# orders (EM ~ 0.5, Milstein ~ 1.0 for multiplicative scalar noise).
+mu, sig, t_end, x0_gbm = 0.05, 0.5, 1.0, 1.0
+gbm_drift = lambda x, z: mu * x
+gbm_diff = lambda x, z: (sig * x)[:, None]
+em = euler_maruyama_step(gbm_drift, gbm_diff)
+mil = milstein_step(gbm_drift, gbm_diff, noise_type="scalar")
+
+n_paths, fine = 256, 512
+dw_fine = rng.standard_normal((n_paths, fine)) * np.sqrt(t_end / fine)
+
+def terminal_error(step, n):
+    dt = t_end / n
+    v = jnp.asarray(dw_fine.reshape(n_paths, n, -1).sum(axis=2) / np.sqrt(dt), dtype)
+
+    def one_path(vs):
+        def body(x, v):
+            return step(None, x, v, dt), None
+        return jax.lax.scan(body, jnp.array([x0_gbm], dtype), vs[:, None])[0][0]
+
+    x_T = jax.vmap(one_path)(v)
+    w_T = jnp.asarray(dw_fine.sum(axis=1), dtype)
+    exact = x0_gbm * jnp.exp((mu - 0.5 * sig**2) * t_end + sig * w_T)
+    return float(jnp.mean(jnp.abs(x_T - exact)))
+
+ns = [8, 16, 32, 64, 128]
+plt.figure(figsize=(4.5, 3))
+for label, step in (("Euler–Maruyama", em), ("Milstein", mil)):
+    e = [terminal_error(step, n) for n in ns]
+    slope = -np.polyfit(np.log(ns), np.log(e), 1)[0]
+    plt.loglog(ns, e, "o-", label=f"{label} (order {slope:.2f})")
+plt.xlabel("steps"); plt.ylabel("mean |X_T - exact|"); plt.legend();
+""")
+
+add(M, """\
+## 1c. Change of variables (Itô's lemma)
+
+`transform_sde` produces the drift and diffusion coefficient of a
+transformed process $\\tilde X = f(X)$ from the original SDE — the mechanism
+the SIR model uses to integrate in log-space (reference
+`sde/transforms.py:9-63`). Quick check on geometric Brownian motion: with
+$f = \\log$, the transformed drift must be the constant $\\mu - \\sigma^2/2$.
+""")
+
+add(C, """\
+from manifold_mcmc_tpu.ops.transforms import transform_sde
+
+log_drift, log_diff = transform_sde(jnp.log, jnp.exp)(gbm_drift, gbm_diff)
+y_probe = jnp.log(jnp.array([1.7], dtype))
+print("transformed drift:", float(log_drift(y_probe, None)[0]),
+      " expected:", mu - 0.5 * sig**2)
+print("transformed diff :", float(log_diff(y_probe, None)[0, 0]),
+      " expected:", sig)
+""")
+
+add(M, """\
 ## 2. Build the constrained system
 
 `ConditionedDiffusionConstrainedSystem` closes over the model functions and
@@ -150,6 +228,29 @@ print("max |c(q_init)| =", float(jnp.abs(c0).max()))
 """)
 
 add(M, """\
+## 3b. Initialisation by gradient descent
+
+When no interpolating solution exists (or as a robustness fallback), the
+fleet can instead be initialised by a chain-vmapped Adam descent of the
+relaxed objective $\\tfrac12\\,\\mathrm{mean}(c^2) + \\tfrac{\\lambda}2\\,
+\\mathrm{mean}(q^2)$ followed by an exact Newton projection polish
+(reference `mici_extensions.py:1550-1676`); for noisy observations a
+variant descends the exact posterior and absorbs the residuals into the
+observation-noise coordinates.
+""")
+
+add(C, """\
+from manifold_mcmc_tpu.init.optimization import find_initial_states_by_gradient_descent
+
+q_gd, x_obs_gd = find_initial_states_by_gradient_descent(
+    system, jax.random.PRNGKey(7), x_obs_target, num_chains=2,
+    tol=tols["constraint_tol"], max_iters=400, block_iters=100,
+)
+c_gd = jax.vmap(lambda q, x: system.constr(q, x, 0))(q_gd, x_obs_gd)
+print("gradient-descent init: max |c| =", float(jnp.abs(c_gd).max()))
+""")
+
+add(M, """\
 ## 4. Sample with constrained HMC
 
 One call runs everything on-device: per-chain step-size search, dual-
@@ -157,6 +258,26 @@ averaging warm-up, and the main phase of dynamic multinomial HMC
 transitions with RATTLE-style constrained leapfrog steps (Newton projection
 onto the manifold + reversibility check), alternating the two staggered
 partitions.
+
+Each constrained leapfrog step is the RATTLE scheme on the cotangent
+bundle of $\\{c(q)=0\\}$: with metric $M$ and Jacobian $\\partial c$,
+
+1. **momentum half-step** $p \\leftarrow p - \\tfrac{\\epsilon}2
+   \\nabla h_1(q)$, projected onto the cotangent space
+   $\\{p : \\partial c(q) M^{-1} p = 0\\}$;
+2. **position step** $q' = q + \\epsilon M^{-1} p +
+   M^{-1}\\partial c(q)^\\top \\lambda$ with $\\lambda$ solved (Newton or
+   quasi-Newton on the Gram matrix $\\partial c\\,M^{-1}\\partial c^\\top$)
+   so that $c(q') = 0$;
+3. a **reversibility check**: the step run backwards must recover the
+   initial position within `reverse_check_tol` (non-reversible solves are
+   rejected — data, not exceptions, under `vmap`);
+4. symmetric momentum half-step + final cotangent projection.
+
+$h_1$ contains the prior and the Gram log-determinant
+$\\tfrac12 \\log\\det(\\partial c\\,M^{-1}\\partial c^\\top)$ — the density
+of the manifold measure — whose gradient flows through the blocked
+Cholesky by AD.
 """)
 
 add(C, """\
@@ -172,6 +293,63 @@ result = sample_chmc_chains(
 )
 print("step size:", float(result["final_step_size"]),
       " mean accept:", float(np.asarray(result["stats"]["accept_stat"]).mean()))
+""")
+
+add(M, """\
+## 4b. Monitored transition statistics
+
+The reference monitors `accept_stat`, `n_step` and the failure flags during
+sampling (Mici's `monitor_stats`, reference `scripts/utils.py:332`). Here
+the same statistics come back as arrays over `(chain, iteration)` — below:
+per-iteration medians, the tree-depth distribution, and the projection
+solver's iteration counts, plus the cumulative operation counters that
+replace Mici's `_call_counts` tracing.
+""")
+
+add(C, """\
+stats = {k: np.asarray(v) for k, v in result["stats"].items()}
+fig, axes = plt.subplots(1, 3, figsize=(12, 2.6))
+axes[0].plot(np.median(stats["accept_stat"], axis=0))
+axes[0].axhline(0.8, color="k", ls="--", lw=1)
+axes[0].set(title="median accept_stat", xlabel="iteration", ylim=(0, 1.05))
+axes[1].plot(np.median(stats["n_step"], axis=0))
+axes[1].set(title="median leapfrog steps / iter", xlabel="iteration")
+axes[2].hist(stats["n_solver_iters"].ravel() / np.maximum(stats["n_step"].ravel(), 1) / 2,
+             bins=30)
+axes[2].set(title="projection iters per step (n̄)", xlabel="iterations")
+fig.tight_layout()
+print("convergence errors:", int(stats["convergence_error"].sum()),
+      " divergences:", int(stats["diverging"].sum()),
+      " of", stats["n_step"].size, "transitions")
+""")
+
+add(C, """\
+# Cumulative per-operation call counters (carried in the chain state --
+# the in-graph replacement for Mici's host-side call counting).
+{k: int(np.asarray(v).sum()) for k, v in result["call_counters"].items()}
+""")
+
+add(M, """\
+## 4c. Convergence monitoring
+
+Split-$\\hat R$ computed on growing prefixes of the chains shows when the
+sampler forgets its initialisation; trace plots show the mixing directly.
+""")
+
+add(C, """\
+pre_traces = {k: np.asarray(v) for k, v in result["traces"].items() if k in "σϵγβ"}
+prefix_lens = np.linspace(20, pre_traces["σ"].shape[1], 12, dtype=int)
+fig, axes = plt.subplots(1, 2, figsize=(10, 2.8))
+for name in "σϵγβ":
+    rhats = [diag.split_rhat(pre_traces[name][:, :n]) for n in prefix_lens]
+    axes[0].plot(prefix_lens, rhats, "o-", ms=3, label=name)
+axes[0].axhline(1.01, color="k", ls="--", lw=1)
+axes[0].set(title="split-R̂ vs prefix length", xlabel="iterations")
+axes[0].legend(fontsize=7)
+for c in range(pre_traces["γ"].shape[0]):
+    axes[1].plot(pre_traces["γ"][c], lw=0.7)
+axes[1].set(title="trace: γ (all chains)", xlabel="iteration")
+fig.tight_layout()
 """)
 
 add(M, """\
@@ -198,6 +376,35 @@ for ax, (name, true) in zip(axes, zip("σϵγβ", np.asarray(z_true))):
     ax.axvline(true, color="k", ls="--", lw=1)
     ax.set_title(name)
 fig.tight_layout()
+""")
+
+add(M, """\
+## 5b. Posterior over latent paths
+
+Each sample of `q` IS a full latent path (non-centred noise increments), so
+the posterior over trajectories comes for free: reconstruct the state
+sequence from final positions and overlay the observations — the sampled
+paths must thread the data exactly (noiseless conditioning).
+""")
+
+add(C, """\
+def full_path(q):
+    u, v_0, v_seq, _ = system.layout.split_q(q)
+    z = fhn.generate_z(u)
+    x = fhn.generate_x_0(z, v_0)
+    def body(x, v):
+        x_n = fhn.forward_func(z, x, v, obs_interval / S)
+        return x_n, x_n
+    return jax.lax.scan(body, x, v_seq.reshape(-1, fhn.dim_v))[1]
+
+paths = jax.vmap(full_path)(result["final_pos"])
+t_fine = (obs_interval / S) * np.arange(1, num_obs * S + 1)
+plt.figure(figsize=(8, 2.6))
+for c in range(paths.shape[0]):
+    plt.plot(t_fine, np.asarray(paths)[c, :, 0], lw=0.8, alpha=0.8)
+plt.plot(ts, np.asarray(y_seq)[:, 0], "ko", ms=4, label="observations")
+plt.xlabel("$t$"); plt.ylabel("$x_1$"); plt.legend()
+plt.title("posterior path samples through the observations");
 """)
 
 add(M, """\
@@ -239,6 +446,42 @@ pd.DataFrame({
     "mean_steps_per_iter": [float(np.asarray(r["stats"]["n_step"]).mean()) for r in (result, result_g)],
     "min_param_ess_bulk": [
         min(diag.ess_bulk(t[k]) for k in t) for t in (traces, traces_g)
+    ],
+})
+""")
+
+add(M, """\
+## 6b. Projection solvers: Newton vs quasi-Newton
+
+The RATTLE position solve can re-evaluate the Jacobian every iteration and
+LU-factorise the non-symmetric product (**Newton**, fewer iterations, more
+work each) or reuse the previous point's Gram Cholesky (**quasi-Newton**,
+cheaper iterations; reference `mici_extensions.py:1323-1476`). Both are
+`lax.while_loop`s returning convergence data; on TPU the quasi-Newton
+variant usually wins because its iteration is a few fused batched
+matmuls.
+""")
+
+add(C, """\
+result_qn = sample_chmc_chains(
+    system, q_init, x_obs_init, jax.random.PRNGKey(2),
+    num_warm_up_iter=40, num_main_iter=80, max_tree_depth=5,
+    projection_solver="quasi-newton",
+    trace_func=trace_z,
+    **tols,
+)
+stats_qn = {k: np.asarray(v) for k, v in result_qn["stats"].items()}
+pd.DataFrame({
+    "solver": ["newton", "quasi-newton"],
+    "mean_iters_per_step": [
+        float(s["n_solver_iters"].sum() / np.maximum(s["n_step"].sum(), 1) / 2)
+        for s in (stats, stats_qn)
+    ],
+    "convergence_errors": [
+        int(s["convergence_error"].sum()) for s in (stats, stats_qn)
+    ],
+    "mean_accept": [
+        float(s["accept_stat"].mean()) for s in (stats, stats_qn)
     ],
 })
 """)
