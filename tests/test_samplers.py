@@ -6,6 +6,8 @@ so the posterior is a standard normal conditioned on an affine subspace whose
 moments are known in closed form -- CHMC must reproduce them.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -419,3 +421,65 @@ def test_chmc_traces_and_counters(rng):
     assert st["n_step"].shape == (2, 20)
     assert np.asarray(st["hamiltonian"]).dtype.kind == "f"
     assert np.all(np.isfinite(np.asarray(st["hamiltonian"])))
+
+
+def test_host_loop_deadline_partial_and_resume(rng, tmp_path):
+    """With an already-expired deadline the host loop must stop BEFORE
+    dispatching work, checkpoint its (empty) progress, and flag
+    ``deadline_hit``; a later call with the same checkpoint and no deadline
+    must complete and reproduce the uninterrupted run exactly (the bench's
+    partial-result / cross-invocation resume contract)."""
+    import time
+
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains_host_loop
+
+    y_seq = jnp.asarray(rng.standard_normal((4, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    _, _, q_star = analytic_conditional(y_seq)
+    q_init = jnp.broadcast_to(jnp.asarray(q_star), (2, len(q_star))) + 0.0
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+    kwargs = dict(
+        num_warm_up_iter=4,
+        num_main_iter=6,
+        max_tree_depth=3,
+        init_step_size=0.4,
+        trace_func=lambda q: {"pos_head": q[:2]},
+    )
+
+    full = sample_chmc_chains_host_loop(
+        system, q_init, x_obs_init, jax.random.PRNGKey(9), **kwargs
+    )
+
+    ckpt = str(tmp_path / "deadline.npz")
+    cut = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(9),
+        checkpoint_path=ckpt,
+        deadline_ts=time.time() - 1.0,
+        **kwargs,
+    )
+    assert cut["deadline_hit"]
+    assert cut["n_main_sweeps_done"] == 0
+    assert os.path.exists(ckpt)
+
+    resumed = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(9),
+        checkpoint_path=ckpt,
+        **kwargs,
+    )
+    assert not resumed["deadline_hit"]
+    assert resumed["n_main_sweeps_done"] == resumed["n_main_sweeps"]
+    np.testing.assert_allclose(
+        np.asarray(full["final_pos"]), np.asarray(resumed["final_pos"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(full["traces"]["pos_head"]),
+        np.asarray(resumed["traces"]["pos_head"]),
+        rtol=1e-12, atol=1e-12,
+    )
