@@ -177,6 +177,26 @@ def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
         default=10,
         help="Maximum binary-tree depth of the dynamic HMC transition",
     )
+    parser.add_argument(
+        "--chmc-driver",
+        choices=("auto", "ingraph", "host"),
+        default="auto",
+        help=(
+            "Chain driver: in-graph scans (one program per stage) or host "
+            "loop (one bounded dispatch per sub-iteration with durable "
+            "checkpoints; default on accelerators whose runtimes kill long "
+            "device executions)"
+        ),
+    )
+    parser.add_argument(
+        "--init-step-size",
+        type=float,
+        default=0.5,
+        help=(
+            "Initial integrator step size for dual averaging (host driver; "
+            "the in-graph driver runs its own coarse search)"
+        ),
+    )
 
 
 def add_experiment_grid_args(parser):
@@ -234,7 +254,10 @@ def run_chmc_experiment(
     """Sample CHMC chains, persist the output contract, return the summary."""
     import numpy as np
 
-    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
+    from manifold_mcmc_tpu.samplers.chains import (
+        sample_chmc_chains,
+        sample_chmc_chains_host_loop,
+    )
     from manifold_mcmc_tpu.utils import stats as diag
     from manifold_mcmc_tpu.utils.output import (
         save_summary,
@@ -243,12 +266,14 @@ def run_chmc_experiment(
     )
 
     tols = resolve_chmc_tolerances(args)
-    start = time.time()
-    result = sample_chmc_chains(
-        system,
-        q_init,
-        x_obs_init,
-        jax.random.PRNGKey(args.seed),
+    driver = getattr(args, "chmc_driver", "auto")
+    if driver == "auto":
+        # Mirrors the HMC driver selection: accelerator runtimes behind an
+        # execution watchdog cannot run the in-graph whole-stage programs;
+        # the host loop dispatches one bounded sub-iteration at a time
+        # (identical sweep bodies, so identical sampling semantics).
+        driver = "host" if jax.default_backend() != "cpu" else "ingraph"
+    common = dict(
         num_warm_up_iter=args.num_warm_up_iter,
         num_main_iter=args.num_main_iter,
         projection_solver=args.projection_solver,
@@ -260,6 +285,27 @@ def run_chmc_experiment(
         trace_func=trace_func,
         **tols,
     )
+    start = time.time()
+    if driver == "host":
+        result = sample_chmc_chains_host_loop(
+            system,
+            q_init,
+            x_obs_init,
+            jax.random.PRNGKey(args.seed),
+            init_step_size=getattr(args, "init_step_size", 0.5),
+            checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
+            checkpoint_every=16,
+            progress_every=16,
+            **common,
+        )
+    else:
+        result = sample_chmc_chains(
+            system,
+            q_init,
+            x_obs_init,
+            jax.random.PRNGKey(args.seed),
+            **common,
+        )
     jax.block_until_ready(result["final_pos"])
     sampling_time = time.time() - start
     traces = {k: np.asarray(v) for k, v in result["traces"].items()}
