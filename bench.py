@@ -7,10 +7,10 @@ dynamic multinomial HMC -- reference
 vmapped chains in float32 on one TPU chip, and reports pooled bulk-ESS per
 wall-clock second over the parameters (sigma, eps, gamma, beta).
 
-The sampler operates at its TUNED point: step size 0.25, grid-tuned offline
-(committed sweep ``benchmarks/results/step_size_sweep_2026-08-17.json``),
-sitting inside the reference's target-accept band (mean accept ~0.77 vs
-target 0.8).  In-run dual averaging is deliberately off: its standard
+The sampler operates at its TUNED point: step size 0.23, grid-tuned offline
+(committed sweep ``benchmarks/results/step_size_sweep_2026-08-17.json``,
+refined at 1024 chains), sitting inside the reference's target-accept band
+(mean accept ~0.78 vs target 0.8).  In-run dual averaging is deliberately off: its standard
 mu-anchor drives the step into the f32 projection-failure cliff and
 collapses it (committed study ``benchmarks/results/tuned_d10_warmup_*``),
 so tuning is amortised offline exactly like the compile cache.
@@ -237,15 +237,15 @@ def main():
         trace_func=trace_func,
         # Tuned operating point.  The step size is grid-tuned offline (the
         # committed sweep in benchmarks/results/step_size_sweep_*.json maps
-        # accept/ESS-per-sec over [0.05, 0.5]): 0.25 sits inside the
-        # reference's target-accept band (measured mean accept 0.77 against
-        # adapt_stat_target 0.8) and maximises ESS/sec.  Dual averaging is
+        # accept/ESS-per-sec over [0.05, 0.5]): 0.23 sits inside the
+        # reference's target-accept band (measured mean accept 0.78 at 1024
+        # chains against adapt_stat_target 0.8) and maximises ESS/sec.  Dual averaging is
         # not run inside the benchmark because its mu-anchor (log 10*eps_0)
         # drives the step into the f32 projection-failure cliff (~0.5),
         # collapses it by two orders of magnitude, and cannot recover within
         # the canonical warm-up (committed study:
         # benchmarks/results/tuned_d10_warmup_2026-08-17.json).
-        init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.25)),
+        init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23)),
     )
 
     deadline_ts = float(os.environ.get("MMT_BENCH_DEADLINE_TS", "inf"))

@@ -698,6 +698,8 @@ def sample_hmc_chains_host_loop(
     init_step_size=0.5,
     find_init_step_size=True,
     progress_every=0,
+    checkpoint_path=None,
+    checkpoint_every=0,
 ):
     """HMC driver with a *host-side* iteration loop (bounded dispatches).
 
@@ -711,7 +713,19 @@ def sample_hmc_chains_host_loop(
     a bounded per-chain doubling search seeds dual averaging, consuming the
     identical RNG stream as the in-graph driver's search stage so the two
     drivers produce bitwise-identical trajectories given the same arguments.
+
+    With ``checkpoint_path`` + ``checkpoint_every`` the complete sampler
+    state (positions, dual-averaging and Welford states, adapted metric,
+    RNG keys, call counters, accumulated main-phase output) is persisted
+    every N iterations and a crashed/killed process resumes exactly where
+    it stopped -- the canonical noisy-obs runs (500+2500 iterations,
+    reference ``scripts/utils.py:94-101``) take hours through the TPU
+    tunnel, whose worker can fault at any point.  Checkpoints are written
+    only after window-boundary adaptation actions, so resumed state is
+    always post-boundary and the Stan window schedule (deterministic in
+    ``num_warm_up_iter``) is simply fast-forwarded.
     """
+    import os as _os
     import time as _time
 
     import numpy as onp
@@ -780,7 +794,54 @@ def sample_hmc_chains_host_loop(
     keys = _split_keys(key, num_chains)
     metric = IdentityMetric()
     init_eps = jnp.full((num_chains,), init_step_size, dtype)
-    if find_init_step_size and num_warm_up_iter > 0:
+    counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
+    traces_acc, stats_acc = [], []
+    warm_done = 0
+    main_done = 0
+    step_size = jnp.asarray(init_step_size, dtype)
+
+    if checkpoint_path and _os.path.exists(checkpoint_path):
+        from manifold_mcmc_tpu.systems.metrics import (
+            BlockDiagonalMetric,
+            DenseMetric,
+            DiagonalMetric,
+        )
+
+        metric_kinds = {
+            "IdentityMetric": IdentityMetric,
+            "DiagonalMetric": DiagonalMetric,
+            "DenseMetric": DenseMetric,
+            "BlockDiagonalMetric": BlockDiagonalMetric,
+        }
+        with onp.load(checkpoint_path, allow_pickle=False) as ck:
+            warm_done = int(ck["warm_done"])
+            main_done = int(ck["main_done"])
+            q = jnp.asarray(ck["q"])
+            keys = jnp.asarray(ck["keys"])
+            step_size = jnp.asarray(ck["step_size"])
+            da = ad.DualAveragingState(
+                *(jnp.asarray(ck[f"da_{f}"]) for f in ad.DualAveragingState._fields)
+            )
+            wf = ad.WelfordState(
+                *(jnp.asarray(ck[f"wf_{f}"]) for f in ad.WelfordState._fields)
+            )
+            kind = str(ck["metric_kind"])
+            n_leaves = int(ck["metric_n_leaves"])
+            leaves = [jnp.asarray(ck[f"metric_{i}"]) for i in range(n_leaves)]
+            metric = metric_kinds[kind](*leaves)
+            counters = {
+                k: jnp.asarray(ck[f"counter_{k}"]) if f"counter_{k}" in ck else v
+                for k, v in counters.items()
+            }
+            trc = {
+                k[len("trc__"):]: ck[k] for k in ck.files if k.startswith("trc__")
+            }
+            stc = {
+                k[len("stc__"):]: ck[k] for k in ck.files if k.startswith("stc__")
+            }
+            traces_acc = [trc] if trc else []
+            stats_acc = [stc] if stc else []
+    elif find_init_step_size and num_warm_up_iter > 0:
         # Mirrors the in-graph driver's ``stage_init`` (same per-chain key
         # split, momentum draw and doubling search), so both drivers consume
         # identical RNG streams.
@@ -798,47 +859,105 @@ def sample_hmc_chains_host_loop(
             return jax.vmap(init_chain)(init_pos, keys, init_eps)
 
         da, keys = search_stage(q, keys, init_eps)
+        wf = fresh_welford()
     else:
         da = jax.vmap(ad.dual_averaging_init)(init_eps)
-    wf = fresh_welford()
+        wf = fresh_welford()
+
+    def save_checkpoint():
+        if not checkpoint_path:
+            return
+        payload = {
+            "warm_done": warm_done,
+            "main_done": main_done,
+            "q": onp.asarray(q),
+            "keys": onp.asarray(keys),
+            "step_size": onp.asarray(step_size),
+        }
+        for f in ad.DualAveragingState._fields:
+            payload[f"da_{f}"] = onp.asarray(getattr(da, f))
+        for f in ad.WelfordState._fields:
+            payload[f"wf_{f}"] = onp.asarray(getattr(wf, f))
+        leaves = jax.tree_util.tree_leaves(metric)
+        payload["metric_kind"] = type(metric).__name__
+        payload["metric_n_leaves"] = len(leaves)
+        for i, leaf in enumerate(leaves):
+            payload[f"metric_{i}"] = onp.asarray(leaf)
+        for k, v in counters.items():
+            payload[f"counter_{k}"] = onp.asarray(v)
+        for prefix, chunks in (("trc__", traces_acc), ("stc__", stats_acc)):
+            for k, v in _concat_sweep_chunks(chunks).items():
+                payload[prefix + k] = v
+        tmp = checkpoint_path + ".tmp.npz"
+        onp.savez(tmp, **payload)
+        _os.replace(tmp, checkpoint_path)
+
     t_start = _time.time()
-    done = 0
+    it_global = 0
 
     def run_window(length, collect):
-        nonlocal q, da, wf, keys, done
+        nonlocal q, da, wf, keys, warm_done, it_global
         for _ in range(length):
+            if it_global < warm_done:
+                # Fast-forward over iterations a previous process completed
+                # (checkpoints are saved post-boundary, so skipped windows
+                # need no replayed adaptation actions).
+                it_global += 1
+                continue
             q, da, wf, keys = warm_iter(q, da, wf, keys, metric, collect)
-            done += 1
-            if progress_every and done % progress_every == 0:
+            it_global += 1
+            warm_done = it_global
+            if checkpoint_every and warm_done % checkpoint_every == 0:
+                # Mid-window saves are safe: resuming re-enters the window
+                # with the checkpointed Welford state, and a save landing
+                # exactly on a window's last iteration re-executes the
+                # boundary actions, which are idempotent (finalize of an
+                # unchanged Welford state; dual-averaging re-init at the
+                # smoothed step, its own fixed point).
+                jax.block_until_ready(q)
+                save_checkpoint()
+            if progress_every and warm_done % progress_every == 0:
                 jax.block_until_ready(q)
                 print(
-                    f"[hmc-host-loop] warm iter {done}/{num_warm_up_iter} "
+                    f"[hmc-host-loop] warm iter {warm_done}/{num_warm_up_iter} "
                     f"({_time.time() - t_start:.0f}s)",
                     flush=True,
                 )
 
+    def maybe_checkpoint_warm():
+        # Called after window-boundary actions so resumed state is always
+        # post-boundary (see docstring).
+        if checkpoint_every and warm_done == it_global:
+            save_checkpoint()
+
     run_window(init_buffer, False)
     for w in slow_windows:
-        wf = fresh_welford()
+        if it_global >= warm_done:
+            wf = fresh_welford()
         run_window(w, True)
-        metric = finalize_metric(ad.welford_merge_chains(wf))
-        da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(
-            da
-        )
+        if warm_done == it_global:
+            metric = finalize_metric(ad.welford_merge_chains(wf))
+            da = jax.vmap(
+                lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar))
+            )(da)
+            maybe_checkpoint_warm()
     run_window(term_buffer, False)
     step_size = ad.dual_averaging_finalize(da)
+    if num_warm_up_iter > 0 and warm_done == num_warm_up_iter and main_done == 0:
+        maybe_checkpoint_warm()
 
-    counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
-    traces_acc, stats_acc = [], []
-    for it in range(num_main_iter):
+    for it in range(main_done, num_main_iter):
         q, keys, counters, tr, st = main_iter(
             q, keys, counters, metric, step_size
         )
         traces_acc.append({k: onp.asarray(v)[:, None] for k, v in tr.items()})
         stats_acc.append({k: onp.asarray(v)[:, None] for k, v in st.items()})
-        if progress_every and (it + 1) % progress_every == 0:
+        main_done = it + 1
+        if checkpoint_every and main_done % checkpoint_every == 0:
+            save_checkpoint()
+        if progress_every and main_done % progress_every == 0:
             print(
-                f"[hmc-host-loop] main iter {it + 1}/{num_main_iter} "
+                f"[hmc-host-loop] main iter {main_done}/{num_main_iter} "
                 f"({_time.time() - t_start:.0f}s)",
                 flush=True,
             )

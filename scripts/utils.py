@@ -360,6 +360,8 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
             q_init,
             jax.random.PRNGKey(args.seed),
             progress_every=50,
+            checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
+            checkpoint_every=25,
             **common,
         )
     else:

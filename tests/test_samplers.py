@@ -216,6 +216,65 @@ def test_hmc_host_loop_matches_ingraph_driver(metric_type):
     )
 
 
+@pytest.mark.parametrize("cut", ["main", "warm"])
+def test_hmc_host_loop_checkpoint_resume(cut, tmp_path):
+    """An HMC host-loop run interrupted mid-phase and resumed from its
+    checkpoint must produce bitwise-identical chains to an uninterrupted
+    run.  ``cut='main'``: the first process completes warm-up plus part of
+    the main phase; ``cut='warm'``: it completes exactly the warm-up
+    (exercising metric/Welford/dual-averaging serialisation with the
+    diagonal adapter)."""
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains_host_loop
+
+    system = EuclideanSystem(banana_free_nld)
+    num_chains, dim = 3, 4
+    init = jax.random.normal(jax.random.PRNGKey(5), (num_chains, dim))
+    kwargs = dict(
+        num_warm_up_iter=40,
+        max_tree_depth=4,
+        metric_type="diagonal",
+        init_step_size=0.7,
+        trace_func=lambda q: {"pos": q},
+    )
+    full = sample_hmc_chains_host_loop(
+        system, init, jax.random.PRNGKey(9), num_main_iter=12, **kwargs
+    )
+    ck = str(tmp_path / "hmc_ck.npz")
+    # First process: same warm-up schedule, interrupted after ``n_first``
+    # main iterations (0 = interrupted right at the end of warm-up).
+    n_first = 6 if cut == "main" else 0
+    sample_hmc_chains_host_loop(
+        system,
+        init,
+        jax.random.PRNGKey(9),
+        num_main_iter=n_first,
+        checkpoint_path=ck,
+        checkpoint_every=3,
+        **kwargs,
+    )
+    assert os.path.exists(ck)
+    resumed = sample_hmc_chains_host_loop(
+        system,
+        init,
+        jax.random.PRNGKey(9),
+        num_main_iter=12,
+        checkpoint_path=ck,
+        checkpoint_every=3,
+        **kwargs,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full["traces"]["pos"]), np.asarray(resumed["traces"]["pos"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(full["final_pos"]), np.asarray(resumed["final_pos"])
+    )
+    assert float(full["final_step_size"]) == float(resumed["final_step_size"])
+    np.testing.assert_array_equal(
+        np.asarray(full["stats"]["n_step"]),
+        np.asarray(resumed["stats"]["n_step"]),
+    )
+
+
 def test_dual_averaging_finalize_unupdated():
     """With zero updates, finalize must return the initial step size (the
     host-loop resume path relies on this)."""
