@@ -34,14 +34,22 @@ def default_dtype():
     return jnp.float64 if is_x64_enabled() else jnp.float32
 
 
-def default_tolerances():
+def default_tolerances(obs_scale=1.0):
     """Solver / reversibility tolerances matched to the active precision.
 
     The reference defaults (``scripts/utils.py:149-166``) assume f64:
     constraint tol 1e-9, position tol 1e-8, reverse-check tol 2e-8.  In f32
-    the achievable constraint residual floor is ~1e-6 of the constraint scale,
-    so tolerances are loosened accordingly; empirically these retain >0.9
-    acceptance under dual-averaging adaptation.
+    the achievable constraint residual floor is ~1e-6 of the constraint
+    *scale* — the magnitude of the observed quantities whose cancellation
+    defines ``c(q)`` — so the f32 constraint tolerance is relative: it is
+    multiplied by ``max(1, obs_scale)``.  For FHN (obs ~O(1)) this is a
+    no-op; for SIR (daily infected counts up to ~300) an absolute 5e-6
+    tolerance sits *below* the f32 rounding floor of the forward pass
+    (~``|y|·eps·√num_steps`` ≈ 5e-4) and the projection solver can never
+    converge — every proposal is rejected with a convergence error and the
+    chains freeze at their initial states.  Callers should pass
+    ``obs_scale = max|y_seq|``.  The f64 path keeps the reference's absolute
+    tolerances (its rounding floor is ~1e-13 even at SIR scale).
     """
     if is_x64_enabled():
         return {
@@ -50,8 +58,9 @@ def default_tolerances():
             "reverse_check_tol": 2e-8,
             "divergence_tol": 1e10,
         }
+    scale = max(1.0, float(obs_scale))
     return {
-        "constraint_tol": 5e-6,
+        "constraint_tol": 5e-6 * scale,
         "position_tol": 5e-5,
         "reverse_check_tol": 2e-4,
         "divergence_tol": 1e8,

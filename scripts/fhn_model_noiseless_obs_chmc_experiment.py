@@ -72,7 +72,9 @@ dir_name = (
     f"R_{args.num_obs_per_subseq}_S_{args.num_steps_per_obs}_T_{args.num_obs}_"
     f"H_{args.num_inner_h2_step}_{args.splitting}_splitting_{timestamp}"
 )
-output_dir = os.path.join(args.output_root_dir, "fhn_noiseless_chmc", dir_name)
+output_dir = args.output_dir or os.path.join(
+    args.output_root_dir, "fhn_noiseless_chmc", dir_name
+)
 create_output_dir_and_save_args(output_dir, vars(args))
 logger = setup_logger(output_dir)
 
@@ -134,4 +136,5 @@ summary = utils.run_chmc_experiment(
     trace_func,
     ["σ", "ϵ", "γ", "β", "x_0"],
     output_dir,
+    obs_scale=float(jnp.abs(y_seq).max()),
 )

@@ -54,7 +54,9 @@ dir_name = (
     f"S_{args.num_steps_per_obs}_H_{args.num_inner_h2_step}_"
     f"{args.splitting}_splitting_{timestamp}"
 )
-output_dir = os.path.join(args.output_root_dir, "fhn_noisy_chmc", dir_name)
+output_dir = args.output_dir or os.path.join(
+    args.output_root_dir, "fhn_noisy_chmc", dir_name
+)
 create_output_dir_and_save_args(output_dir, vars(args))
 logger = setup_logger(output_dir)
 
@@ -112,5 +114,12 @@ q_init, x_obs_init = jax.vmap(
 
 summary_vars = ["σ", "ϵ", "γ", "β", "x_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(
-    args, system, q_init, x_obs_init, trace_func, summary_vars, output_dir
+    args,
+    system,
+    q_init,
+    x_obs_init,
+    trace_func,
+    summary_vars,
+    output_dir,
+    obs_scale=float(jnp.abs(y_seq).max()),
 )

@@ -52,7 +52,9 @@ dir_name = (
     f"S_{args.num_steps_per_obs}_H_{args.num_inner_h2_step}_"
     f"{args.splitting}_splitting_{timestamp}"
 )
-output_dir = os.path.join(args.output_root_dir, "sir_chmc", dir_name)
+output_dir = args.output_dir or os.path.join(
+    args.output_root_dir, "sir_chmc", dir_name
+)
 create_output_dir_and_save_args(output_dir, vars(args))
 logger = setup_logger(output_dir)
 
@@ -101,14 +103,28 @@ q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
 )
 q_init = q_init.astype(dtype)
 x_obs_init = x_obs_init.astype(dtype)
+# SIR observations are daily infected counts (up to ~300), so the f32
+# constraint tolerance must be relative to that scale — see
+# utils/config.default_tolerances.
+obs_scale = float(jnp.abs(y_seq).max())
+tols = utils.resolve_chmc_tolerances(args, obs_scale=obs_scale)
 c_val = float(
     jnp.abs(
         jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
     ).max()
 )
-assert c_val < 1e-4, f"init off manifold: max|c|={c_val:.2e}"
+assert c_val < tols["constraint_tol"], (
+    f"init off manifold: max|c|={c_val:.2e} vs tol {tols['constraint_tol']:.2e}"
+)
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(
-    args, system, q_init, x_obs_init, trace_func, summary_vars, output_dir
+    args,
+    system,
+    q_init,
+    x_obs_init,
+    trace_func,
+    summary_vars,
+    output_dir,
+    obs_scale=obs_scale,
 )

@@ -48,7 +48,9 @@ dir_name = (
     f"sigma_{args.observation_noise_std}_S_{args.num_steps_per_obs}_"
     f"{args.metric_type}_metric_{args.splitting}_splitting_{timestamp}"
 )
-output_dir = os.path.join(args.output_root_dir, "sir_hmc", dir_name)
+output_dir = args.output_dir or os.path.join(
+    args.output_root_dir, "sir_hmc", dir_name
+)
 create_output_dir_and_save_args(output_dir, vars(args))
 logger = setup_logger(output_dir)
 

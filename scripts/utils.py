@@ -38,6 +38,13 @@ def add_common_experiment_args(
         help="Root directory to make experiment output subdirectory in",
     )
     parser.add_argument(
+        "--output-dir",
+        default=None,
+        help="Exact output directory (overrides the timestamped name under "
+        "--output-root-dir); pointing at a directory holding a "
+        "checkpoint.npz resumes an interrupted run from it",
+    )
+    parser.add_argument(
         "--num-steps-per-obs",
         type=int,
         default=default_num_steps_per_obs,
@@ -235,10 +242,10 @@ def add_experiment_grid_args(parser):
     )
 
 
-def resolve_chmc_tolerances(args):
+def resolve_chmc_tolerances(args, obs_scale=1.0):
     from manifold_mcmc_tpu.utils.config import default_tolerances
 
-    tols = default_tolerances()
+    tols = default_tolerances(obs_scale=obs_scale)
     return dict(
         constraint_tol=args.projection_solver_constraint_tol
         or tols["constraint_tol"],
@@ -249,7 +256,14 @@ def resolve_chmc_tolerances(args):
 
 
 def run_chmc_experiment(
-    args, system, q_init, x_obs_init, trace_func, summary_vars, output_dir
+    args,
+    system,
+    q_init,
+    x_obs_init,
+    trace_func,
+    summary_vars,
+    output_dir,
+    obs_scale=1.0,
 ):
     """Sample CHMC chains, persist the output contract, return the summary."""
     import numpy as np
@@ -265,7 +279,7 @@ def run_chmc_experiment(
         write_traces,
     )
 
-    tols = resolve_chmc_tolerances(args)
+    tols = resolve_chmc_tolerances(args, obs_scale=obs_scale)
     driver = getattr(args, "chmc_driver", "auto")
     if driver == "auto":
         # Mirrors the HMC driver selection: accelerator runtimes behind an

@@ -299,3 +299,21 @@ def test_checkpoint_resume_roundtrip(rng, tmp_path):
     )
     assert resumed["final_pos"].shape == result["final_pos"].shape
     assert float(resumed["final_step_size"]) == float(ckpt["final_step_size"])
+
+
+def test_default_tolerances_scale_with_observation_magnitude(monkeypatch):
+    """f32 constraint tol is relative to the observation scale (SIR counts
+    ~300 sit above the absolute f32 floor); f64 keeps reference absolutes."""
+    from manifold_mcmc_tpu.utils import config as cfg
+
+    monkeypatch.setattr(cfg, "is_x64_enabled", lambda: False)
+    base = cfg.default_tolerances()
+    scaled = cfg.default_tolerances(obs_scale=300.0)
+    assert scaled["constraint_tol"] == base["constraint_tol"] * 300.0
+    assert scaled["position_tol"] == base["position_tol"]
+    # sub-unit scales never tighten below the f32 floor
+    assert cfg.default_tolerances(obs_scale=0.01) == base
+
+    monkeypatch.setattr(cfg, "is_x64_enabled", lambda: True)
+    f64 = cfg.default_tolerances(obs_scale=300.0)
+    assert f64["constraint_tol"] == 1e-9
