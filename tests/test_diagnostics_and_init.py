@@ -317,3 +317,93 @@ def test_default_tolerances_scale_with_observation_magnitude(monkeypatch):
     monkeypatch.setattr(cfg, "is_x64_enabled", lambda: True)
     f64 = cfg.default_tolerances(obs_scale=300.0)
     assert f64["constraint_tol"] == 1e-9
+
+
+def test_sir_f32_projection_converges_at_scaled_tolerance(tmp_path):
+    """Regression for the frozen-SIR-chains failure: in f32 the projection
+    solver can reach the obs-scale-relative constraint tolerance but not the
+    f64-era absolute 5e-6, which sits below the forward pass's rounding
+    floor at SIR's count-scale observations (~300).  Runs in a subprocess so
+    x64 stays off (this file's suite runs under the f64 golden config)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, os, sys
+        import jax, jax.numpy as jnp, numpy as np
+        from manifold_mcmc_tpu.models import sir
+        from manifold_mcmc_tpu.systems.constrained import (
+            ConditionedDiffusionConstrainedSystem,
+        )
+        from manifold_mcmc_tpu.init.optimization import (
+            find_initial_states_by_gradient_descent_noisy_system,
+        )
+        from manifold_mcmc_tpu.utils.config import default_tolerances
+
+        data = np.load(os.path.join("scripts", "data",
+                                    "sir_model_boarding_school_data.npz"))
+        y_seq = jnp.asarray(data["y_seq"], jnp.float32)
+        system = ConditionedDiffusionConstrainedSystem(
+            obs_interval=float(data["obs_interval"]),
+            num_steps_per_obs=5,
+            num_obs_per_subseq=7,
+            y_seq=y_seq,
+            dim_u=sir.dim_z + 1,
+            dim_x=sir.dim_x,
+            dim_v=sir.dim_v,
+            forward_func=sir.forward_func,
+            generate_x_0=sir.generate_x_0,
+            generate_z=sir.generate_z,
+            obs_func=sir.obs_func,
+            generate_sigma=1.0,
+            dim_v_0=sir.dim_v_0,
+        )
+        key = jax.random.PRNGKey(20200710)
+        q0, x_obs0 = find_initial_states_by_gradient_descent_noisy_system(
+            system, key, num_chains=2
+        )
+        q, x_obs = q0[0].astype(jnp.float32), x_obs0[0].astype(jnp.float32)
+        jac = system.jacob_constr_blocks(q, x_obs, 0)
+        chol = system.chol_gram_blocks(jac, partition=0)
+        noise = 1e-3 * jax.random.normal(jax.random.PRNGKey(1), q.shape,
+                                         jnp.float32)
+        tols = default_tolerances(obs_scale=float(jnp.abs(y_seq).max()))
+        res_scaled = system.quasi_newton_projection(
+            q + noise, x_obs, jac, chol, 0.1,
+            constraint_tol=tols["constraint_tol"],
+            position_tol=tols["position_tol"],
+        )
+        res_abs = system.quasi_newton_projection(
+            q + noise, x_obs, jac, chol, 0.1,
+            constraint_tol=5e-6, position_tol=tols["position_tol"],
+        )
+        print(json.dumps({
+            "scaled_converged": bool(res_scaled.converged),
+            "scaled_error": float(res_scaled.error),
+            "abs_converged": bool(res_abs.converged),
+            "abs_error": float(res_abs.error),
+            "f32": str(q.dtype) == "float32",
+        }))
+        """
+    )
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.getcwd()
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        env=env,
+        cwd=os.getcwd(),
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    assert r["f32"]
+    assert r["scaled_converged"], r
+    # the f64-era absolute tolerance is unreachable in f32 at SIR obs scale
+    assert not r["abs_converged"], r
