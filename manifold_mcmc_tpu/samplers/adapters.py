@@ -56,19 +56,38 @@ class DualAveragingState(NamedTuple):
     log_step_bar: Any
     accept_err_sum: Any
     mu: Any
+    log_step_max: Any
 
 
-def dual_averaging_init(init_step_size):
+def dual_averaging_init(init_step_size, max_step_size=None):
+    """Initialise dual averaging, optionally bounded above.
+
+    ``max_step_size`` caps both the proposed step and the ``mu`` anchor.
+    The f32 constrained integrator has a hard *failure cliff* in step size
+    (projection / reversibility failures reject every trajectory above it);
+    the standard anchor ``mu = log(10 * eps_0)`` (Hoffman & Gelman 2014)
+    deliberately explores upward and, across the cliff, collects a run of
+    zero acceptances that collapses the step by orders of magnitude with
+    only O(1/sqrt(t)) recovery (measured:
+    ``benchmarks/results/tuned_d10_warmup_2026-08-17.json``).  Callers pass
+    a cliff estimate from :func:`~..samplers.chains.find_step_size_cliff`.
+    """
     log_eps = jnp.log(init_step_size)
+    log_max = (
+        jnp.full_like(log_eps, jnp.inf)
+        if max_step_size is None
+        else jnp.log(max_step_size)
+    )
     return DualAveragingState(
         iter=jnp.zeros_like(init_step_size, dtype=jnp.int32),
-        log_step=log_eps,
+        log_step=jnp.minimum(log_eps, log_max),
         # Start the smoothed estimate at the initial step size so finalizing
         # an un-updated state returns ``init_step_size`` (the first update
         # has weight 1 and overwrites it, so adaptation is unaffected).
-        log_step_bar=log_eps,
+        log_step_bar=jnp.minimum(log_eps, log_max),
         accept_err_sum=jnp.zeros_like(log_eps),
-        mu=jnp.log(10.0) + log_eps,
+        mu=jnp.minimum(jnp.log(10.0) + log_eps, log_max),
+        log_step_max=log_max,
     )
 
 
@@ -92,6 +111,8 @@ def dual_averaging_update(
     log_step = state.mu - jnp.sqrt(it * 1.0) / reg_coefficient * err_sum / (
         it + iter_offset
     )
+    # Never step above the integrator-failure cliff (see dual_averaging_init).
+    log_step = jnp.minimum(log_step, state.log_step_max)
     weight = it ** (-iter_decay_coeff)
     log_step_bar = weight * log_step + (1 - weight) * state.log_step_bar
     return DualAveragingState(
@@ -100,6 +121,7 @@ def dual_averaging_update(
         log_step_bar=log_step_bar,
         accept_err_sum=err_sum,
         mu=state.mu,
+        log_step_max=state.log_step_max,
     )
 
 

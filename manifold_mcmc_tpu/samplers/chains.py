@@ -88,6 +88,45 @@ def find_reasonable_step_size(integ, metric, point, init_step_size=1.0, max_trie
     return jnp.where(direction > 0, eps * 0.5, eps)
 
 
+def find_step_size_cliff(integ, metric, point, init_step_size=1.0, max_tries=30):
+    """Largest step size at which a single integrator step still *succeeds*.
+
+    The f32 constrained integrator fails hard above a step-size cliff
+    (projection non-convergence / failed reversibility check -> ``ok`` False
+    -> certain rejection), unlike the smooth acceptance decay dual
+    averaging's model assumes.  Doubles from ``init_step_size`` while the
+    step succeeds (or halves until it first succeeds) and returns the last
+    succeeding step size; callers clamp dual averaging below a safety
+    fraction of it (see ``dual_averaging_init(max_step_size=...)``).  Pure
+    function of the starting point -- runs per chain under ``vmap``.
+    """
+    dtype = point.pos.dtype
+
+    def ok_at(eps):
+        _, ok, _ = integ.step(point, eps, metric)
+        return ok
+
+    eps0 = jnp.asarray(init_step_size, dtype)
+    ok0 = ok_at(eps0)
+    direction = jnp.where(ok0, 1.0, -1.0).astype(dtype)
+
+    def cond(carry):
+        _, ok, i = carry
+        keep_doubling = (direction > 0) & ok
+        keep_halving = (direction < 0) & ~ok
+        return (keep_doubling | keep_halving) & (i < max_tries)
+
+    def body(carry):
+        eps, _, i = carry
+        eps_next = eps * jnp.exp2(direction)
+        return eps_next, ok_at(eps_next), i + 1
+
+    eps, ok, _ = lax.while_loop(cond, body, (eps0, ok0, jnp.array(0, jnp.int32)))
+    # Doubling stopped at the first *failing* step: back up one doubling.
+    # Halving stopped at the first succeeding step: return it as-is.
+    return jnp.where(direction > 0, jnp.where(ok, eps, eps * 0.5), eps)
+
+
 def stan_windows(num_warm_up_iter, init_buffer=75, term_buffer=50, base_window=25):
     """Stan-style warm-up schedule: (fast, [slow windows...], fast).
 
@@ -229,9 +268,16 @@ def sample_chmc_chains(
     init_step_size=None,
     clear_caches_between_stages=False,
     find_init_step_size=True,
+    step_size_cliff_safety=0.5,
     return_timings=False,
 ):
     """Sample vmapped CHMC chains for a conditioned diffusion system.
+
+    ``step_size_cliff_safety``: probe each chain's integrator-failure cliff
+    (:func:`find_step_size_cliff`) before warm-up and clamp dual averaging at
+    this fraction of it, preventing the f32 step-size collapse documented in
+    ``benchmarks/results/tuned_d10_warmup_2026-08-17.json``.  ``None``
+    disables the probe (the reference's unbounded dual averaging).
 
     ``clear_caches_between_stages`` drops each stage's loaded executable
     before compiling the next: the step-size-search / warm-up / main programs
@@ -293,6 +339,23 @@ def sample_chmc_chains(
     # The run is staged into three separately jitted programs (step-size
     # search, warm-up, main) -- smaller XLA programs compile faster, cache
     # independently, and bound the size any single remote compile must handle.
+    def _cliff_max_step(q0, x_obs0, chain_key, eps0):
+        """Per-chain dual-averaging ceiling from the failure-cliff probe.
+
+        Uses a key *folded off* the chain key (not split from the run
+        stream) so enabling/disabling the probe does not shift the RNG
+        schedule of the run itself, and the host-loop driver can derive the
+        identical key from the same chain keys.
+        """
+        integ0 = make_constrained_integrator(
+            system, x_obs0, partition=0, **solver_cfg
+        )
+        k_mom = jax.random.fold_in(chain_key, 13)
+        point = integ0.init(q0, jnp.zeros_like(q0), metric)
+        point = point._replace(mom=integ0.sample_momentum(k_mom, point, metric))
+        cliff = find_step_size_cliff(integ0, metric, point, eps0)
+        return step_size_cliff_safety * cliff
+
     def stage_init(init_pos, init_x_obs, keys, init_eps):
         def per_chain(q0, x_obs0, chain_key, eps0):
             integ0 = make_constrained_integrator(
@@ -304,7 +367,12 @@ def sample_chmc_chains(
                 mom=integ0.sample_momentum(k_mom, point, metric)
             )
             eps = find_reasonable_step_size(integ0, metric, point, eps0)
-            return ad.dual_averaging_init(eps), k_run
+            max_eps = (
+                None
+                if step_size_cliff_safety is None
+                else _cliff_max_step(q0, x_obs0, chain_key, eps)
+            )
+            return ad.dual_averaging_init(eps, max_eps), k_run
 
         return jax.vmap(per_chain)(init_pos, init_x_obs, keys, init_eps)
 
@@ -361,8 +429,20 @@ def sample_chmc_chains(
             )
         else:
             # Skip the search program entirely; dual averaging adapts from
-            # the provided initial step size.
-            da = jax.vmap(ad.dual_averaging_init)(init_eps)
+            # the provided initial step size (still cliff-clamped unless the
+            # probe is disabled).
+            if step_size_cliff_safety is None:
+                da = jax.vmap(ad.dual_averaging_init)(init_eps)
+            else:
+                max_eps = run_stage(
+                    lambda *a: jax.vmap(_cliff_max_step)(*a),
+                    "cliff_probe",
+                    init_pos,
+                    init_x_obs_seq,
+                    keys,
+                    init_eps,
+                )
+                da = jax.vmap(ad.dual_averaging_init)(init_eps, max_eps)
             run_keys = keys
         if clear_caches_between_stages:
             jax.block_until_ready((da, run_keys))
@@ -634,7 +714,9 @@ def sample_hmc_chains(
         )
         metric = finalize_metric(ad.welford_merge_chains(wf))
         # Re-centre dual averaging on the current smoothed step size.
-        da = jax.vmap(lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar)))(da)
+        da = jax.vmap(lambda d: ad.dual_averaging_init(
+                jnp.exp(d.log_step_bar), jnp.exp(d.log_step_max)
+            ))(da)
     if term_buffer > 0:
         q, da, wf, run_keys = run_stage(
             make_warm_stage(term_buffer, False),
@@ -820,7 +902,14 @@ def sample_hmc_chains_host_loop(
             keys = jnp.asarray(ck["keys"])
             step_size = jnp.asarray(ck["step_size"])
             da = ad.DualAveragingState(
-                *(jnp.asarray(ck[f"da_{f}"]) for f in ad.DualAveragingState._fields)
+                *(
+                    jnp.asarray(ck[f"da_{f}"])
+                    if f"da_{f}" in ck.files
+                    # Field added after the checkpoint was written (e.g.
+                    # log_step_max): resume unclamped rather than failing.
+                    else jnp.full((num_chains,), jnp.inf, dtype)
+                    for f in ad.DualAveragingState._fields
+                )
             )
             wf = ad.WelfordState(
                 *(jnp.asarray(ck[f"wf_{f}"]) for f in ad.WelfordState._fields)
@@ -938,7 +1027,9 @@ def sample_hmc_chains_host_loop(
         if warm_done == it_global:
             metric = finalize_metric(ad.welford_merge_chains(wf))
             da = jax.vmap(
-                lambda d: ad.dual_averaging_init(jnp.exp(d.log_step_bar))
+                lambda d: ad.dual_averaging_init(
+                jnp.exp(d.log_step_bar), jnp.exp(d.log_step_max)
+            )
             )(da)
             maybe_checkpoint_warm()
     run_window(term_buffer, False)
@@ -1000,6 +1091,7 @@ def sample_chmc_chains_host_loop(
     trace_func=None,
     metric=IdentityMetric(),
     init_step_size=0.5,
+    step_size_cliff_safety=0.5,
     checkpoint_path=None,
     checkpoint_every=16,
     progress_every=0,
@@ -1137,7 +1229,14 @@ def sample_chmc_chains_host_loop(
             x_obs = jnp.asarray(ck["x_obs"])
             keys = jnp.asarray(ck["keys"])
             da = ad.DualAveragingState(
-                *(jnp.asarray(ck[f"da_{f}"]) for f in ad.DualAveragingState._fields)
+                *(
+                    jnp.asarray(ck[f"da_{f}"])
+                    if f"da_{f}" in ck.files
+                    # Field added after the checkpoint was written (e.g.
+                    # log_step_max): resume unclamped rather than failing.
+                    else jnp.full((num_chains,), jnp.inf, dtype)
+                    for f in ad.DualAveragingState._fields
+                )
             )
             step_size = jnp.asarray(ck["step_size"])
             # Accumulated main-phase output is stored per key as one plain
@@ -1158,9 +1257,32 @@ def sample_chmc_chains_host_loop(
     else:
         q, x_obs = init_pos, init_x_obs_seq
         keys = _split_keys(key, num_chains)
-        da = jax.vmap(ad.dual_averaging_init)(
-            jnp.full((num_chains,), init_step_size, dtype)
-        )
+        init_eps = jnp.full((num_chains,), init_step_size, dtype)
+        if step_size_cliff_safety is None or num_warm_up_iter == 0:
+            da = jax.vmap(ad.dual_averaging_init)(init_eps)
+        else:
+            # Failure-cliff ceiling for dual averaging (same probe and key
+            # derivation as the in-graph driver's, so the two drivers adapt
+            # identically): one extra bounded dispatch on fresh start only.
+            @jax.jit
+            def _cliff_probe(qs, xs, ks, eps):
+                def per_chain(q0, x_obs0, chain_key, eps0):
+                    integ0 = make_constrained_integrator(
+                        system, x_obs0, partition=0, **solver_cfg
+                    )
+                    k_mom = jax.random.fold_in(chain_key, 13)
+                    point = integ0.init(q0, jnp.zeros_like(q0), metric)
+                    point = point._replace(
+                        mom=integ0.sample_momentum(k_mom, point, metric)
+                    )
+                    cliff = find_step_size_cliff(integ0, metric, point, eps0)
+                    return step_size_cliff_safety * cliff
+
+                return jax.vmap(per_chain)(qs, xs, ks, eps)
+
+            da = jax.vmap(ad.dual_averaging_init)(
+                init_eps, _cliff_probe(q, x_obs, keys, init_eps)
+            )
         step_size = jnp.asarray(init_step_size, dtype)
 
     def save(sweep):

@@ -542,3 +542,54 @@ def test_host_loop_deadline_partial_and_resume(rng, tmp_path):
         np.asarray(resumed["traces"]["pos_head"]),
         rtol=1e-12, atol=1e-12,
     )
+
+
+def test_dual_averaging_max_step_clamp():
+    """With a max_step_size the proposed step never exceeds it, even under a
+    run of full acceptances pushing upward; without one behaviour is
+    unchanged (the reference's unbounded dual averaging)."""
+    from manifold_mcmc_tpu.samplers import adapters as ad
+
+    da_free = ad.dual_averaging_init(jnp.asarray(0.2))
+    da_cap = ad.dual_averaging_init(jnp.asarray(0.2), jnp.asarray(0.5))
+    assert float(da_cap.mu) == pytest.approx(np.log(0.5))
+    for _ in range(50):
+        da_free = ad.dual_averaging_update(da_free, jnp.asarray(1.0))
+        da_cap = ad.dual_averaging_update(da_cap, jnp.asarray(1.0))
+    assert float(jnp.exp(da_free.log_step)) > 0.5  # explores above unclamped
+    assert float(jnp.exp(da_cap.log_step)) <= 0.5 + 1e-6
+    assert float(ad.dual_averaging_finalize(da_cap)) <= 0.5 + 1e-6
+    # window-reset style re-init keeps the ceiling
+    da_reset = ad.dual_averaging_init(
+        jnp.exp(da_cap.log_step_bar), jnp.exp(da_cap.log_step_max)
+    )
+    assert float(da_reset.log_step_max) == pytest.approx(np.log(0.5))
+
+
+def test_find_step_size_cliff_bidirectional():
+    """The cliff probe returns a succeeding step size within one doubling of
+    the true cliff, from starts on either side of it."""
+    from manifold_mcmc_tpu.samplers.chains import find_step_size_cliff
+    from manifold_mcmc_tpu.samplers.integrators import (
+        EuclideanPoint,
+        Integrator,
+    )
+
+    CLIFF = 0.7
+
+    def step(point, eps, metric):
+        ok = eps <= CLIFF
+        return point, jnp.asarray(ok), jnp.array(0, jnp.int32)
+
+    integ = Integrator(
+        init=None, step=step, energy=lambda p, m: 0.0, sample_momentum=None
+    )
+    point = EuclideanPoint(
+        pos=jnp.zeros(2), mom=jnp.zeros(2), nld=0.0, grad_nld=jnp.zeros(2)
+    )
+    lo = float(find_step_size_cliff(integ, None, point, 0.1))
+    assert CLIFF / 2 <= lo <= CLIFF
+    hi = float(find_step_size_cliff(integ, None, point, 3.0))
+    assert CLIFF / 2 <= hi <= CLIFF
+    on = float(find_step_size_cliff(integ, None, point, 0.6))
+    assert CLIFF / 2 <= on <= CLIFF
