@@ -32,7 +32,12 @@ import jax.numpy as jnp
 from jax import lax
 
 from manifold_mcmc_tpu.samplers import adapters as ad
-from manifold_mcmc_tpu.samplers.hmc import dynamic_multinomial_hmc
+from manifold_mcmc_tpu.samplers.hmc import (
+    dynamic_multinomial_hmc,
+    nuts_chunk_expand,
+    nuts_chunk_finalize,
+    nuts_chunk_init,
+)
 from manifold_mcmc_tpu.samplers.integrators import (
     make_constrained_integrator,
     make_leapfrog_integrator,
@@ -782,6 +787,7 @@ def sample_hmc_chains_host_loop(
     progress_every=0,
     checkpoint_path=None,
     checkpoint_every=0,
+    max_steps_per_dispatch=None,
 ):
     """HMC driver with a *host-side* iteration loop (bounded dispatches).
 
@@ -806,6 +812,17 @@ def sample_hmc_chains_host_loop(
     only after window-boundary adaptation actions, so resumed state is
     always post-boundary and the Stan window schedule (deterministic in
     ``num_warm_up_iter``) is simply fast-forwarded.
+
+    With ``max_steps_per_dispatch=K`` each device dispatch executes at most
+    ``K`` leapfrog steps: the dynamic tree is built through the resumable
+    :func:`nuts_chunk_init` / :func:`nuts_chunk_expand` /
+    :func:`nuts_chunk_finalize` transition, whose carry stays device-resident
+    between dispatches.  This bounds every single device execution even at
+    the reference's canonical ``max_tree_depth=20`` noisy-obs configuration
+    (up to 2**20 steps per iteration -- reference ``scripts/utils.py:94-101``),
+    which a per-iteration dispatch cannot (accelerator runtimes behind
+    tunnels kill executions beyond tens of seconds).  The chunked transition
+    consumes the identical RNG stream, so results are unchanged.
     """
     import os as _os
     import time as _time
@@ -852,6 +869,88 @@ def sample_hmc_chains_host_loop(
             return q1, k_next, c1, {**trace_func(q1), **c1}, stats
 
         return jax.vmap(one)(q, keys, counters)
+
+    if max_steps_per_dispatch is not None and max_steps_per_dispatch > 0:
+        # Resumable-tree mode: each dispatch advances every chain's tree by
+        # at most ``max_steps_per_dispatch`` leapfrog steps; the carry stays
+        # on device, the host only reads back the not-done count (one int).
+        # RNG splits mirror ``_make_hmc_iteration`` exactly.
+        @jax.jit
+        def _chunk_start(q, keys, metric):
+            def one(q0, k0):
+                k_next, k = _split_keys(k0, 2)
+                k_mom, k_tree = _split_keys(k, 2)
+                point = integ.init(q0, jnp.zeros_like(q0), metric)
+                point = point._replace(
+                    mom=integ.sample_momentum(k_mom, point, metric)
+                )
+                carry = nuts_chunk_init(
+                    integ, metric, point, k_tree, max_tree_depth
+                )
+                return carry, k_next
+
+            return jax.vmap(one)(q, keys)
+
+        @jax.jit
+        def _chunk_expand(carry, eps, metric, budget):
+            out = jax.vmap(
+                lambda c, e: nuts_chunk_expand(
+                    integ, metric, c, e, budget, max_tree_depth, max_delta_h
+                )
+            )(carry, eps)
+            return out, jnp.sum(~out.done)
+
+        @jax.jit
+        def _chunk_finish(carry):
+            pos, _, stats = jax.vmap(nuts_chunk_finalize)(carry)
+            return pos, stats
+
+        def _run_transition(q, keys, eps, metric):
+            carry, k_next = _chunk_start(q, keys, metric)
+            budget = jnp.array(int(max_steps_per_dispatch), jnp.int32)
+            while True:
+                carry, n_active = _chunk_expand(carry, eps, metric, budget)
+                if int(jax.device_get(n_active)) == 0:
+                    break
+            pos, stats = _chunk_finish(carry)
+            return pos, k_next, stats
+
+        @partial(jax.jit, static_argnames=("collect",))
+        def _warm_post(q1, da, wf, stats, collect):
+            def one(q0, da0, wf0, a0):
+                da1 = ad.dual_averaging_update(
+                    da0,
+                    a0,
+                    adapt_stat_target=adapt_stat_target,
+                    reg_coefficient=step_size_reg_coefficient,
+                )
+                if collect:
+                    x = q0[:dim_param] if metric_type == "block" else q0
+                    wf0 = ad.welford_update(wf0, x)
+                return da1, wf0
+
+            return jax.vmap(one)(q1, da, wf, stats["accept_stat"])
+
+        @jax.jit
+        def _main_post(q1, counters, stats):
+            def one(q0, c0, s0):
+                c1 = _update_hmc_counters(c0, s0)
+                return c1, {**trace_func(q0), **c1}
+
+            return jax.vmap(one)(q1, counters, stats)
+
+        def warm_iter(q, da, wf, keys, metric, collect):  # noqa: F811
+            q1, k_next, stats = _run_transition(
+                q, keys, jnp.exp(da.log_step), metric
+            )
+            da1, wf1 = _warm_post(q1, da, wf, stats, collect)
+            return q1, da1, wf1, k_next
+
+        def main_iter(q, keys, counters, metric, step_size):  # noqa: F811
+            eps = jnp.broadcast_to(jnp.asarray(step_size, dtype), (num_chains,))
+            q1, k_next, stats = _run_transition(q, keys, eps, metric)
+            c1, tr = _main_post(q1, counters, stats)
+            return q1, k_next, c1, tr, stats
 
     if has_metric_adapter:
         init_buffer, slow_windows, term_buffer = stan_windows(num_warm_up_iter)

@@ -216,6 +216,122 @@ def test_hmc_host_loop_matches_ingraph_driver(metric_type):
     )
 
 
+@pytest.mark.parametrize("budget", [1, 3, 1000])
+def test_nuts_chunked_matches_single_shot(budget):
+    """The resumable chunked tree expansion consumes the identical RNG
+    stream and executes identical per-leaf floating-point operations, so
+    chunk_init + repeated chunk_expand + chunk_finalize must reproduce
+    ``dynamic_multinomial_hmc`` bitwise for any step budget."""
+    from manifold_mcmc_tpu.samplers.hmc import (
+        dynamic_multinomial_hmc,
+        nuts_chunk_expand,
+        nuts_chunk_finalize,
+        nuts_chunk_init,
+    )
+    from manifold_mcmc_tpu.samplers.integrators import make_leapfrog_integrator
+    from manifold_mcmc_tpu.systems.metrics import IdentityMetric
+
+    system = EuclideanSystem(banana_free_nld)
+    integ = make_leapfrog_integrator(system)
+    metric = IdentityMetric()
+    max_tree_depth, max_delta_h = 6, 1000.0
+
+    @jax.jit
+    def single(q, key, eps):
+        k_mom, k_tree = jax.random.split(key)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        return dynamic_multinomial_hmc(
+            integ, metric, point, k_tree, eps, max_tree_depth, max_delta_h
+        )
+
+    @jax.jit
+    def chunk_start(q, key):
+        k_mom, k_tree = jax.random.split(key)
+        point = integ.init(q, jnp.zeros_like(q), metric)
+        point = point._replace(mom=integ.sample_momentum(k_mom, point, metric))
+        return nuts_chunk_init(integ, metric, point, k_tree, max_tree_depth)
+
+    @jax.jit
+    def chunk_step(carry, eps):
+        return nuts_chunk_expand(
+            integ, metric, carry, eps, budget, max_tree_depth, max_delta_h
+        )
+
+    for seed, eps in [(0, 0.3), (1, 0.9), (2, 2.5), (3, 0.05)]:
+        key = jax.random.PRNGKey(seed)
+        q = jax.random.normal(jax.random.fold_in(key, 99), (4,))
+        pos_s, mom_s, stats_s = single(q, key, eps)
+        carry = chunk_start(q, key)
+        for _ in range(10000):
+            if bool(carry.done):
+                break
+            carry = chunk_step(carry, eps)
+        assert bool(carry.done)
+        pos_c, mom_c, stats_c = nuts_chunk_finalize(carry)
+        # Equality up to cross-program compilation differences: the two
+        # drivers execute the same op sequence but XLA may reassociate tiny
+        # reductions (e.g. the energy dot product) differently per program,
+        # so float stats can differ in the last ulp.
+        np.testing.assert_allclose(
+            np.asarray(pos_s), np.asarray(pos_c), rtol=1e-12, atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(mom_s), np.asarray(mom_c), rtol=1e-12, atol=1e-12
+        )
+        for k in stats_s:
+            a, c = np.asarray(stats_s[k]), np.asarray(stats_c[k])
+            if a.dtype.kind == "f":
+                np.testing.assert_allclose(a, c, rtol=1e-12, err_msg=k)
+            else:
+                np.testing.assert_array_equal(a, c, err_msg=k)
+
+
+def test_hmc_host_loop_chunked_matches_unchunked():
+    """``max_steps_per_dispatch`` changes only the dispatch granularity:
+    traces, final state and statistics must be identical."""
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains_host_loop
+
+    system = EuclideanSystem(banana_free_nld)
+    num_chains, dim = 3, 4
+    init = jax.random.normal(jax.random.PRNGKey(5), (num_chains, dim))
+    kwargs = dict(
+        num_warm_up_iter=25,
+        num_main_iter=10,
+        max_tree_depth=4,
+        metric_type="diagonal",
+        init_step_size=0.7,
+        trace_func=lambda q: {"pos": q},
+    )
+    r_ref = sample_hmc_chains_host_loop(
+        system, init, jax.random.PRNGKey(9), **kwargs
+    )
+    r_chunk = sample_hmc_chains_host_loop(
+        system, init, jax.random.PRNGKey(9), max_steps_per_dispatch=5, **kwargs
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref["final_pos"]),
+        np.asarray(r_chunk["final_pos"]),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref["traces"]["pos"]),
+        np.asarray(r_chunk["traces"]["pos"]),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_ref["stats"]["n_step"]),
+        np.asarray(r_chunk["stats"]["n_step"]),
+    )
+    np.testing.assert_allclose(
+        float(r_ref["final_step_size"]),
+        float(r_chunk["final_step_size"]),
+        rtol=1e-12,
+    )
+
+
 @pytest.mark.parametrize("cut", ["main", "warm"])
 def test_hmc_host_loop_checkpoint_resume(cut, tmp_path):
     """An HMC host-loop run interrupted mid-phase and resumed from its
