@@ -133,6 +133,18 @@ def add_hmc_experiment_args(parser):
             "accelerators whose runtimes kill long device executions)"
         ),
     )
+    parser.add_argument(
+        "--max-steps-per-dispatch",
+        type=int,
+        default=None,
+        help=(
+            "Host driver only: bound every device dispatch to at most this "
+            "many leapfrog steps via the resumable chunked tree transition "
+            "(default: 256 on accelerators when max tree depth > 10 -- a "
+            "depth-20 tree can make 2**20 steps, far past execution "
+            "watchdogs; 0 disables chunking)"
+        ),
+    )
 
 
 def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
@@ -369,6 +381,13 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
     )
     start = time.time()
     if driver == "host":
+        chunk = getattr(args, "max_steps_per_dispatch", None)
+        if chunk is None and jax.default_backend() != "cpu":
+            # At deep tree caps a single NUTS iteration can run 2**depth
+            # leapfrog steps in one dispatch -- far past tunnelled-worker
+            # execution watchdogs (~20-40 s).  Chunk the tree so every
+            # dispatch stays bounded; RNG stream and results are unchanged.
+            chunk = 256 if args.max_tree_depth > 10 else 0
         result = sample_hmc_chains_host_loop(
             system,
             q_init,
@@ -376,6 +395,7 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
             progress_every=50,
             checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
             checkpoint_every=25,
+            max_steps_per_dispatch=chunk or None,
             **common,
         )
     else:
