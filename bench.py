@@ -197,9 +197,12 @@ def main():
 
         return jax.vmap(one)(keys)
 
+    from manifold_mcmc_tpu.samplers.chains import retry_transient
+
     t0 = time.time()
-    q_init, x_obs_init = init_chains(jax.random.PRNGKey(20200710))
-    jax.block_until_ready(q_init)
+    q_init, x_obs_init = retry_transient(
+        lambda: init_chains(jax.random.PRNGKey(20200710)), what="chain init"
+    )
     init_time = time.time() - t0
 
     def trace_func(q):

@@ -501,6 +501,47 @@ def _concat_sweep_chunks(chunks):
     }
 
 
+# Backend fault texts observed to be TRANSIENT on tunnelled accelerator
+# runtimes: the identical execution/transfer succeeds minutes later (free
+# device memory is plentiful throughout -- measured 12 GB allocatable while
+# a 2 MB readback failed).  Congestion on the host<->device link surfaces
+# as RESOURCE_EXHAUSTED on whatever call happens to synchronise next.
+_TRANSIENT_FAULT_MARKERS = ("RESOURCE_EXHAUSTED",)
+
+
+def retry_transient(fn, what="dispatch", max_tries=4, base_delay=15.0):
+    """Run one host-loop dispatch unit, retrying transient backend faults.
+
+    ``fn`` must be a PURE unit: a closure over live host references whose
+    device inputs it does not donate, returning its outputs (device arrays
+    and/or host conversions of them).  Outputs are synced before being
+    accepted, so a failed attempt can only poison buffers that are dropped
+    on retry; the inputs stay valid and re-running the unit is exact
+    (dispatches are deterministic functions of their inputs, RNG keys
+    included).  Non-transient errors propagate immediately.
+    """
+    import time as _time
+
+    for attempt in range(max_tries):
+        try:
+            out = fn()
+            jax.block_until_ready(out)
+            return out
+        except Exception as err:  # noqa: BLE001 - filtered by marker below
+            msg = str(err)
+            transient = any(m in msg for m in _TRANSIENT_FAULT_MARKERS)
+            if not transient or attempt == max_tries - 1:
+                raise
+            delay = base_delay * (2.0**attempt)
+            print(
+                f"[host-loop] transient backend fault in {what} "
+                f"(attempt {attempt + 1}/{max_tries}); retrying in "
+                f"{delay:.0f}s: {msg.splitlines()[0][:120]}",
+                flush=True,
+            )
+            _time.sleep(delay)
+
+
 def _init_counters():
     z = jnp.array(0, jnp.int64) if jax.config.jax_enable_x64 else jnp.array(0, jnp.int32)
     return {
@@ -1030,23 +1071,70 @@ def sample_hmc_chains_host_loop(
             traces_acc = [trc] if trc else []
             stats_acc = [stc] if stc else []
     elif find_init_step_size and num_warm_up_iter > 0:
-        # Mirrors the in-graph driver's ``stage_init`` (same per-chain key
-        # split, momentum draw and doubling search), so both drivers consume
-        # identical RNG streams.
+        # Host-driven Hoffman-Gelman doubling search.  Mirrors the in-graph
+        # driver's ``stage_init`` exactly (same per-chain key split, momentum
+        # draw, per-iteration float ops on the same dtype), so both drivers
+        # consume identical RNG streams and produce bitwise-equal step
+        # sizes.  The loop runs on the host with ONE small per-iteration
+        # probe program rather than as a single in-graph ``while_loop`` over
+        # full gradient evaluations: a monolithic search executable is large
+        # enough to exhaust bounded remote-worker program memory, after
+        # which every later program load fails with RESOURCE_EXHAUSTED
+        # (observed deterministically at canonical noisy-obs shapes).
         @jax.jit
-        def search_stage(init_pos, keys, init_eps):
-            def init_chain(q0, chain_key, eps0):
+        def search_init(init_pos, keys, init_eps):
+            def one(q0, chain_key, eps0):
                 k_mom, k_run = _split_keys(chain_key, 2)
                 point = integ.init(q0, jnp.zeros_like(q0), metric)
                 point = point._replace(
                     mom=integ.sample_momentum(k_mom, point, metric)
                 )
-                eps = find_reasonable_step_size(integ, metric, point, eps0)
-                return ad.dual_averaging_init(eps), k_run
+                h0 = integ.energy(point, metric)
+                pt1, ok, _ = integ.step(point, eps0, metric)
+                nd0 = h0 - integ.energy(pt1, metric)
+                nd0 = jnp.where(ok & jnp.isfinite(nd0), nd0, -jnp.inf)
+                direction = jnp.where(nd0 > jnp.log(0.5), 1.0, -1.0).astype(
+                    dtype
+                )
+                return point, h0, nd0, direction, k_run
 
-            return jax.vmap(init_chain)(init_pos, keys, init_eps)
+            return jax.vmap(one)(init_pos, keys, init_eps)
 
-        da, keys = search_stage(q, keys, init_eps)
+        @jax.jit
+        def search_iter(point, h0, eps, nd, direction, i, active):
+            def one(point, h0, eps, nd, direction, active):
+                eps_next = jnp.where(active, eps * jnp.exp2(direction), eps)
+                pt1, ok, _ = integ.step(point, eps_next, metric)
+                nd1 = h0 - integ.energy(pt1, metric)
+                nd1 = jnp.where(ok & jnp.isfinite(nd1), nd1, -jnp.inf)
+                return eps_next, jnp.where(active, nd1, nd)
+
+            eps, nd = jax.vmap(one)(point, h0, eps, nd, direction, active)
+            i = i + active.astype(jnp.int32)
+            active = (
+                active
+                & (direction * nd > direction * jnp.log(0.5))
+                & (i < 30)
+            )
+            return eps, nd, i, active, jnp.sum(active)
+
+        point, h0, nd, direction, keys = retry_transient(
+            lambda: search_init(q, keys, init_eps), what="step-size search"
+        )
+        eps = init_eps
+        i = jnp.zeros((num_chains,), jnp.int32)
+        active = (direction * nd > direction * jnp.log(0.5)) & (i < 30)
+        while True:
+            eps, nd, i, active, n_active = retry_transient(
+                lambda: search_iter(point, h0, eps, nd, direction, i, active),
+                what="step-size search",
+            )
+            if int(jax.device_get(n_active)) == 0:
+                break
+        # One step back for the doubling direction so the final accept
+        # probability is on the >1/2 side (as find_reasonable_step_size).
+        eps = jnp.where(direction > 0, eps * 0.5, eps)
+        da = jax.vmap(ad.dual_averaging_init)(eps)
         wf = fresh_welford()
     else:
         da = jax.vmap(ad.dual_averaging_init)(init_eps)
@@ -1055,6 +1143,9 @@ def sample_hmc_chains_host_loop(
     def save_checkpoint():
         if not checkpoint_path:
             return
+        retry_transient(_save_checkpoint_payload, what="checkpoint save")
+
+    def _save_checkpoint_payload():
         payload = {
             "warm_done": warm_done,
             "main_done": main_done,
@@ -1092,7 +1183,10 @@ def sample_hmc_chains_host_loop(
                 # need no replayed adaptation actions).
                 it_global += 1
                 continue
-            q, da, wf, keys = warm_iter(q, da, wf, keys, metric, collect)
+            q, da, wf, keys = retry_transient(
+                lambda: warm_iter(q, da, wf, keys, metric, collect),
+                what=f"warm iter {it_global + 1}",
+            )
             it_global += 1
             warm_done = it_global
             if checkpoint_every and warm_done % checkpoint_every == 0:
@@ -1137,11 +1231,20 @@ def sample_hmc_chains_host_loop(
         maybe_checkpoint_warm()
 
     for it in range(main_done, num_main_iter):
-        q, keys, counters, tr, st = main_iter(
-            q, keys, counters, metric, step_size
+
+        def _main_unit(q=q, keys=keys, counters=counters):
+            q2, keys2, counters2, tr, st = main_iter(
+                q, keys, counters, metric, step_size
+            )
+            trc = {k: onp.asarray(v)[:, None] for k, v in tr.items()}
+            stc = {k: onp.asarray(v)[:, None] for k, v in st.items()}
+            return q2, keys2, counters2, trc, stc
+
+        q, keys, counters, trc, stc = retry_transient(
+            _main_unit, what=f"main iter {it + 1}"
         )
-        traces_acc.append({k: onp.asarray(v)[:, None] for k, v in tr.items()})
-        stats_acc.append({k: onp.asarray(v)[:, None] for k, v in st.items()})
+        traces_acc.append(trc)
+        stats_acc.append(stc)
         main_done = it + 1
         if checkpoint_every and main_done % checkpoint_every == 0:
             save_checkpoint()
@@ -1379,14 +1482,19 @@ def sample_chmc_chains_host_loop(
 
                 return jax.vmap(per_chain)(qs, xs, ks, eps)
 
-            da = jax.vmap(ad.dual_averaging_init)(
-                init_eps, _cliff_probe(q, x_obs, keys, init_eps)
+            cliff = retry_transient(
+                lambda: _cliff_probe(q, x_obs, keys, init_eps),
+                what="cliff probe",
             )
+            da = jax.vmap(ad.dual_averaging_init)(init_eps, cliff)
         step_size = jnp.asarray(init_step_size, dtype)
 
     def save(sweep):
         if not checkpoint_path:
             return
+        retry_transient(lambda: _save_payload(sweep), what="checkpoint save")
+
+    def _save_payload(sweep):
         payload = {
             "sweep": sweep,
             "q": onp.asarray(q),
@@ -1428,8 +1536,10 @@ def sample_chmc_chains_host_loop(
             deadline_hit = True
             break
         t0 = _time.time()
-        q, x_obs, da, keys = warm_sweep(q, x_obs, da, keys)
-        jax.block_until_ready(q)
+        q, x_obs, da, keys = retry_transient(
+            lambda: warm_sweep(q, x_obs, da, keys),
+            what=f"warm sweep {sweep + 1}",
+        )
         warm_times.append(_time.time() - t0)
         warm_done = sweep + 1
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:
@@ -1452,18 +1562,26 @@ def sample_chmc_chains_host_loop(
             save(n_warm_sweeps + sweep)
             break
         t0 = _time.time()
-        q, x_obs, keys, counters, traces, stats = main_sweep(
-            q, x_obs, step_size, keys, counters
+
+        def _main_unit(q=q, x_obs=x_obs, keys=keys, counters=counters):
+            # Host conversion happens inside the retried unit: a transfer of
+            # a healthy buffer can itself fault transiently, and re-running
+            # the (pure) sweep from its unchanged inputs is exact.
+            q2, x_obs2, keys2, counters2, traces, stats = main_sweep(
+                q, x_obs, step_size, keys, counters
+            )
+            # Store each sweep as (chains, 1, partitions, ...) so chunks of
+            # any sweep count concatenate uniformly (checkpoint restore loads
+            # the accumulated history as one multi-sweep chunk).
+            tr = {k: onp.asarray(v)[:, None] for k, v in traces.items()}
+            st = {k: onp.asarray(v)[:, None] for k, v in stats.items()}
+            return q2, x_obs2, keys2, counters2, tr, st
+
+        q, x_obs, keys, counters, tr_chunk, st_chunk = retry_transient(
+            _main_unit, what=f"main sweep {sweep + 1}"
         )
-        # Store each sweep as (chains, 1, partitions, ...) so chunks of any
-        # sweep count concatenate uniformly (checkpoint restore loads the
-        # accumulated history as one multi-sweep chunk).
-        trace_chunks.append(
-            {k: onp.asarray(v)[:, None] for k, v in traces.items()}
-        )
-        stats_chunks.append(
-            {k: onp.asarray(v)[:, None] for k, v in stats.items()}
-        )
+        trace_chunks.append(tr_chunk)
+        stats_chunks.append(st_chunk)
         main_times.append(_time.time() - t0)
         main_done = sweep + 1
         if checkpoint_every and (sweep + 1) % checkpoint_every == 0:

@@ -37,6 +37,7 @@ def make_conditioned_diffusion_neg_log_dens(
     generate_sigma,
     obs_func,
     use_gaussian_splitting=False,
+    unroll=None,
 ):
     """Negative log posterior density of the non-centred diffusion model.
 
@@ -60,19 +61,43 @@ def make_conditioned_diffusion_neg_log_dens(
         def generate_sigma(u):  # noqa: F811 - constant closure
             return jnp.asarray(sigma_const, dtype=u.dtype)
 
+    # Within-interval steps are unrolled in the scan body (loop overhead
+    # dominates on TPU -- the per-step state is tiny), but the unroll factor
+    # is CAPPED: every executable containing this graph (and especially its
+    # AD transpose) grows linearly with the unroll, and remote workers with
+    # bounded program memory deterministically fail later program loads with
+    # RESOURCE_EXHAUSTED once a few oversized executables are resident
+    # (observed at num_steps_per_obs=40, the reference's canonical noisy-obs
+    # configuration -- scripts/fhn_model_noisy_obs_hmc_experiment.py:32-40).
+    if unroll is None:
+        unroll = next(
+            u
+            for u in range(min(num_steps_per_obs, 32), 0, -1)
+            if num_steps_per_obs % u == 0
+        )
+    num_chunks = num_steps_per_obs // unroll
+
     def neg_log_dens(q):
         u, v_0, v_flat = split(q, (dim_u, dim_v_0))
         z = generate_z(u)
         sigma = generate_sigma(u)
         x_0 = generate_x_0(z, v_0)
-        # Scan per observation with the within-interval steps unrolled in
-        # the body: 1/num_steps_per_obs the sequential iterations (loop
-        # overhead dominates on TPU -- the per-step state is tiny).
         v_by_obs = v_flat.reshape((num_obs, num_steps_per_obs, dim_v))
 
         def body(x, v_obs):
-            for i in range(num_steps_per_obs):
-                x = forward_func(z, x, v_obs[i], delta)
+            if num_chunks == 1:
+                for i in range(num_steps_per_obs):
+                    x = forward_func(z, x, v_obs[i], delta)
+                return x, x
+
+            def inner(x, v_chunk):
+                for i in range(unroll):
+                    x = forward_func(z, x, v_chunk[i], delta)
+                return x, None
+
+            x, _ = lax.scan(
+                inner, x, v_obs.reshape((num_chunks, unroll, dim_v))
+            )
             return x, x
 
         _, x_obs_states = lax.scan(body, x_0, v_by_obs)

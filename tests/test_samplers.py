@@ -709,3 +709,81 @@ def test_find_step_size_cliff_bidirectional():
     assert CLIFF / 2 <= hi <= CLIFF
     on = float(find_step_size_cliff(integ, None, point, 0.6))
     assert CLIFF / 2 <= on <= CLIFF
+
+
+def test_retry_transient_recovers_and_reraises(monkeypatch):
+    """Transient backend faults are retried from the unit's (pure) inputs;
+    non-transient errors and exhausted retries propagate."""
+    from manifold_mcmc_tpu.samplers.chains import retry_transient
+
+    monkeypatch.setattr("time.sleep", lambda s: None)
+    calls = {"n": 0}
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+        return jnp.arange(3.0)
+
+    out = retry_transient(flaky, what="test unit", base_delay=0.0)
+    assert calls["n"] == 3
+    np.testing.assert_allclose(np.asarray(out), [0.0, 1.0, 2.0])
+
+    def always_fails():
+        raise RuntimeError("RESOURCE_EXHAUSTED: TPU backend error")
+
+    with pytest.raises(RuntimeError, match="RESOURCE_EXHAUSTED"):
+        retry_transient(always_fails, max_tries=2, base_delay=0.0)
+
+    def real_bug():
+        raise ValueError("shape mismatch")
+
+    calls["n"] = 0
+
+    def count_real_bug():
+        calls["n"] += 1
+        raise ValueError("shape mismatch")
+
+    with pytest.raises(ValueError):
+        retry_transient(count_real_bug, base_delay=0.0)
+    assert calls["n"] == 1  # non-transient: no retry
+
+
+def test_neg_log_dens_unroll_invariance():
+    """The capped-unroll (chunked inner scan) likelihood equals the fully
+    unrolled one -- the cap only bounds executable size (chosen so remote
+    workers with bounded program memory can load all sampler programs).
+
+    Shapes are tiny (compiling a fully unrolled strong-1.5 graph is
+    expensive even on CPU); the chunked path is forced with an explicit
+    ``unroll`` below ``num_steps_per_obs``, the same code the auto cap
+    selects at the canonical noisy-obs S=40 (divisor 20)."""
+    from manifold_mcmc_tpu.models import fhn
+    from manifold_mcmc_tpu.systems.euclidean import (
+        make_conditioned_diffusion_neg_log_dens,
+    )
+
+    rng = np.random.default_rng(3)
+    T, S = 5, 6
+    y = jnp.asarray(rng.standard_normal((T, 1)))
+    kwargs = dict(
+        obs_interval=0.2,
+        num_steps_per_obs=S,
+        y_seq=y,
+        dim_u=fhn.dim_z,
+        dim_v_0=fhn.dim_v_0,
+        dim_v=fhn.dim_v,
+        forward_func=fhn.forward_func,
+        generate_x_0=fhn.generate_x_0,
+        generate_z=fhn.generate_z,
+        generate_sigma=0.1,
+        obs_func=fhn.obs_func,
+    )
+    nld_chunked = make_conditioned_diffusion_neg_log_dens(unroll=2, **kwargs)
+    nld_full = make_conditioned_diffusion_neg_log_dens(unroll=S, **kwargs)
+    dim_q = fhn.dim_z + fhn.dim_v_0 + T * S * fhn.dim_v
+    q = jnp.asarray(rng.standard_normal(dim_q)) * 0.3
+    va, ga = jax.value_and_grad(nld_chunked)(q)
+    vf, gf = jax.value_and_grad(nld_full)(q)
+    np.testing.assert_allclose(float(va), float(vf), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gf), rtol=1e-9)
