@@ -509,7 +509,7 @@ def _concat_sweep_chunks(chunks):
 _TRANSIENT_FAULT_MARKERS = ("RESOURCE_EXHAUSTED",)
 
 
-def retry_transient(fn, what="dispatch", max_tries=4, base_delay=15.0):
+def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0):
     """Run one host-loop dispatch unit, retrying transient backend faults.
 
     ``fn`` must be a PURE unit: a closure over live host references whose
@@ -519,9 +519,21 @@ def retry_transient(fn, what="dispatch", max_tries=4, base_delay=15.0):
     on retry; the inputs stay valid and re-running the unit is exact
     (dispatches are deterministic functions of their inputs, RNG keys
     included).  Non-transient errors propagate immediately.
+
+    RESOURCE_EXHAUSTED has two causes on tunnelled workers: link
+    congestion (cured by waiting) and worker *program memory* filled by
+    executables loaded for earlier stages (cured only by eviction).  From
+    the second attempt on, all host-side executable caches are dropped
+    before re-running, so the retry reloads just the programs ``fn``
+    actually dispatches; re-tracing is repaid from the persistent compile
+    cache.
     """
+    import gc as _gc
+    import os as _os_env
     import time as _time
 
+    if _os_env.environ.get("MMT_NO_RETRY"):  # debug aid: fail fast, full trace
+        max_tries = 1
     for attempt in range(max_tries):
         try:
             out = fn()
@@ -533,12 +545,17 @@ def retry_transient(fn, what="dispatch", max_tries=4, base_delay=15.0):
             if not transient or attempt == max_tries - 1:
                 raise
             delay = base_delay * (2.0**attempt)
+            evict = attempt >= 1
             print(
                 f"[host-loop] transient backend fault in {what} "
-                f"(attempt {attempt + 1}/{max_tries}); retrying in "
+                f"(attempt {attempt + 1}/{max_tries}); "
+                f"{'evicting executables and ' if evict else ''}retrying in "
                 f"{delay:.0f}s: {msg.splitlines()[0][:120]}",
                 flush=True,
             )
+            if evict:
+                jax.clear_caches()
+                _gc.collect()
             _time.sleep(delay)
 
 
@@ -673,6 +690,13 @@ def sample_hmc_chains(
         init_buffer, slow_windows, term_buffer = num_warm_up_iter, [], 0
 
     def fresh_welford():
+        if not has_metric_adapter:
+            # Identity metric: the Welford carry is never consumed (collect
+            # stays False, finalize never runs) but it is created EAGERLY
+            # below -- a dense dim_q x dim_q covariance per chain would be
+            # ~65 GB at canonical noisy-obs shapes.  Thread a dim-1
+            # placeholder instead (inside jit it is dead code anyway).
+            return ad.welford_init(1, dtype, diagonal=True)
         return ad.welford_init(wf_dim, dtype, diagonal=(metric_type == "diagonal"))
 
     def finalize_metric(wf_merged):
@@ -829,6 +853,7 @@ def sample_hmc_chains_host_loop(
     checkpoint_path=None,
     checkpoint_every=0,
     max_steps_per_dispatch=None,
+    clear_caches_between_stages=False,
 ):
     """HMC driver with a *host-side* iteration loop (bounded dispatches).
 
@@ -999,6 +1024,16 @@ def sample_hmc_chains_host_loop(
         init_buffer, slow_windows, term_buffer = num_warm_up_iter, [], 0
 
     def fresh_welford():
+        if not has_metric_adapter:
+            # Identity metric: nothing consumes the Welford state (collect
+            # is never True and finalize never runs) but the dispatch
+            # signature threads it.  The in-graph driver dead-code-
+            # eliminates it inside jit; here it would be EAGERLY
+            # materialized -- a dense dim_q x dim_q covariance per chain is
+            # ~65 GB at canonical noisy-obs shapes (256 chains, dim_q 8006).
+            return jax.vmap(lambda _: ad.welford_init(1, dtype, diagonal=True))(
+                jnp.arange(num_chains)
+            )
         return jax.vmap(
             lambda _: ad.welford_init(
                 wf_dim, dtype, diagonal=(metric_type == "diagonal")
@@ -1118,24 +1153,40 @@ def sample_hmc_chains_host_loop(
             )
             return eps, nd, i, active, jnp.sum(active)
 
-        point, h0, nd, direction, keys = retry_transient(
-            lambda: search_init(q, keys, init_eps), what="step-size search"
-        )
-        eps = init_eps
-        i = jnp.zeros((num_chains,), jnp.int32)
-        active = (direction * nd > direction * jnp.log(0.5)) & (i < 30)
-        while True:
-            eps, nd, i, active, n_active = retry_transient(
-                lambda: search_iter(point, h0, eps, nd, direction, i, active),
-                what="step-size search",
-            )
-            if int(jax.device_get(n_active)) == 0:
-                break
-        # One step back for the doubling direction so the final accept
-        # probability is on the >1/2 side (as find_reasonable_step_size).
-        eps = jnp.where(direction > 0, eps * 0.5, eps)
-        da = jax.vmap(ad.dual_averaging_init)(eps)
-        wf = fresh_welford()
+        if clear_caches_between_stages:
+            # Evict init-phase executables (data composition, chain-init
+            # solves) from worker program memory before the search programs
+            # load.
+            jax.block_until_ready((q, keys, init_eps))
+            jax.clear_caches()
+
+        def _search_stage():
+            # One retryable PURE unit over (q, keys, init_eps): a fault at
+            # any of its ~30 small dispatches redoes the whole (cheap)
+            # search; retry_transient's eviction path then reloads only the
+            # two probe programs.
+            point, h0, nd, direction, keys2 = search_init(q, keys, init_eps)
+            eps = init_eps
+            i = jnp.zeros((num_chains,), jnp.int32)
+            active = (direction * nd > direction * jnp.log(0.5)) & (i < 30)
+            while int(jax.device_get(jnp.sum(active))) > 0:
+                eps, nd, i, active, _ = search_iter(
+                    point, h0, eps, nd, direction, i, active
+                )
+            # One step back for the doubling direction so the final accept
+            # probability is on the >1/2 side (as find_reasonable_step_size).
+            eps = jnp.where(direction > 0, eps * 0.5, eps)
+            da = jax.vmap(ad.dual_averaging_init)(eps)
+            wf = fresh_welford()
+            return da, wf, keys2
+
+        da, wf, keys = retry_transient(_search_stage, what="step-size search")
+        if clear_caches_between_stages:
+            # Drop the search executables before the (large) tree-transition
+            # programs load; they are never dispatched again.  Without this,
+            # canonical noisy-obs shapes exhaust the bounded program memory
+            # at the first warm iteration.
+            jax.clear_caches()
     else:
         da = jax.vmap(ad.dual_averaging_init)(init_eps)
         wf = fresh_welford()

@@ -65,14 +65,16 @@ def make_conditioned_diffusion_neg_log_dens(
     # dominates on TPU -- the per-step state is tiny), but the unroll factor
     # is CAPPED: every executable containing this graph (and especially its
     # AD transpose) grows linearly with the unroll, and remote workers with
-    # bounded program memory deterministically fail later program loads with
+    # bounded SHARED program memory fail program loads with
     # RESOURCE_EXHAUSTED once a few oversized executables are resident
     # (observed at num_steps_per_obs=40, the reference's canonical noisy-obs
-    # configuration -- scripts/fhn_model_noisy_obs_hmc_experiment.py:32-40).
+    # configuration -- scripts/fhn_model_noisy_obs_hmc_experiment.py:32-40;
+    # an unroll-20 strong-1.5 grad body replicated into the search + tree
+    # programs still failed under ambient worker pressure, unroll 8 loads).
     if unroll is None:
         unroll = next(
             u
-            for u in range(min(num_steps_per_obs, 32), 0, -1)
+            for u in range(min(num_steps_per_obs, 8), 0, -1)
             if num_steps_per_obs % u == 0
         )
     num_chunks = num_steps_per_obs // unroll

@@ -396,6 +396,9 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
             checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
             checkpoint_every=25,
             max_steps_per_dispatch=chunk or None,
+            # Tunnelled workers have bounded program memory: evict each
+            # stage's executables once it completes (numerics unchanged).
+            clear_caches_between_stages=jax.default_backend() != "cpu",
             **common,
         )
     else:

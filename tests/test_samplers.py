@@ -757,7 +757,7 @@ def test_neg_log_dens_unroll_invariance():
     Shapes are tiny (compiling a fully unrolled strong-1.5 graph is
     expensive even on CPU); the chunked path is forced with an explicit
     ``unroll`` below ``num_steps_per_obs``, the same code the auto cap
-    selects at the canonical noisy-obs S=40 (divisor 20)."""
+    selects at the canonical noisy-obs S=40 (divisor 8)."""
     from manifold_mcmc_tpu.models import fhn
     from manifold_mcmc_tpu.systems.euclidean import (
         make_conditioned_diffusion_neg_log_dens,
