@@ -392,7 +392,7 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
             system,
             q_init,
             jax.random.PRNGKey(args.seed),
-            progress_every=50,
+            progress_every=max(1, min(50, args.num_warm_up_iter // 5 or 1)),
             checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
             checkpoint_every=25,
             max_steps_per_dispatch=chunk or None,

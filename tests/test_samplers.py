@@ -787,3 +787,40 @@ def test_neg_log_dens_unroll_invariance():
     vf, gf = jax.value_and_grad(nld_full)(q)
     np.testing.assert_allclose(float(va), float(vf), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(gf), rtol=1e-9)
+
+
+def test_identity_metric_welford_is_placeholder():
+    """With metric_type='identity' neither driver may materialize the (dead)
+    Welford covariance: eagerly created per chain it is O(chains * dim_q^2)
+    -- 65 GB at the canonical noisy-obs HMC config (256 chains, dim_q 8006).
+    Regression test: the threaded state must be the dim-1 placeholder, and
+    identity-metric results must be unchanged by it (cross-driver equality
+    is covered by test_hmc_host_loop_matches_ingraph_driver)."""
+    from manifold_mcmc_tpu.samplers import adapters as ad
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains_host_loop
+
+    captured = {}
+    orig = ad.welford_init
+
+    def spy(dim, dtype, diagonal=False):
+        captured.setdefault("dims", []).append((dim, diagonal))
+        return orig(dim, dtype, diagonal=diagonal)
+
+    system = EuclideanSystem(banana_free_nld)
+    init = jax.random.normal(jax.random.PRNGKey(3), (2, 4))
+    ad_welford_init = ad.welford_init
+    try:
+        ad.welford_init = spy
+        sample_hmc_chains_host_loop(
+            system,
+            init,
+            jax.random.PRNGKey(4),
+            num_warm_up_iter=4,
+            num_main_iter=2,
+            max_tree_depth=3,
+            metric_type="identity",
+        )
+    finally:
+        ad.welford_init = ad_welford_init
+    assert captured["dims"], "welford_init never called"
+    assert all(dim == 1 and diag for dim, diag in captured["dims"]), captured
