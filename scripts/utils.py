@@ -23,6 +23,13 @@ def setup_jax(args):
     ``utils.py:19-22``) the default here is the accelerator's native f32;
     pass ``--x64`` for the double-precision golden path."""
     jax.config.update("jax_default_matmul_precision", "highest")
+    # Persistent compile cache: remote compiles through the TPU tunnel take
+    # 1-40 min per large program; reruns/resumes of the same config must
+    # reuse them (same policy as bench.py).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+    )
     if args.x64:
         jax.config.update("jax_enable_x64", True)
     if args.platform:
