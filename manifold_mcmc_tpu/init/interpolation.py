@@ -15,7 +15,57 @@ a whole fleet in one ``vmap``.
 import jax
 import jax.numpy as jnp
 
-__all__ = ["find_initial_state_by_linear_interpolation"]
+__all__ = [
+    "find_initial_state_by_linear_interpolation",
+    "make_unconstrained_init_model",
+]
+
+
+def make_unconstrained_init_model(
+    obs_interval,
+    num_steps_per_obs,
+    num_obs,
+    dim_u,
+    dim_v_0,
+    dim_v,
+    dim_x,
+    forward_func,
+    generate_x_0,
+    generate_z,
+):
+    """Minimal ``(model_dict, layout)`` carrier for the interpolation init.
+
+    The unconstrained HMC experiments have no
+    ``ConditionedDiffusionConstrainedSystem`` but share the flat
+    ``q = [u, v_0, v]`` layout; the reference initialises them through the
+    same routine by passing explicit model kwargs
+    (``scripts/fhn_model_noisy_obs_hmc_experiment.py:114-134``).
+    """
+    from types import SimpleNamespace
+
+    from manifold_mcmc_tpu.ops.constraint import QLayout
+
+    layout = QLayout(
+        dim_u=dim_u,
+        dim_v_0=dim_v_0,
+        dim_v=dim_v,
+        dim_x=dim_x,
+        dim_y=0,
+        num_obs=num_obs,
+        num_steps_per_obs=num_steps_per_obs,
+        noisy=False,
+    )
+    model_dict = dict(
+        dim_u=dim_u,
+        dim_v_0=dim_v_0,
+        dim_v=dim_v,
+        num_steps_per_obs=num_steps_per_obs,
+        delta=obs_interval / num_steps_per_obs,
+        forward_func=forward_func,
+        generate_x_0=generate_x_0,
+        generate_z=generate_z,
+    )
+    return SimpleNamespace(model_dict=model_dict, layout=layout)
 
 
 def find_initial_state_by_linear_interpolation(

@@ -102,10 +102,48 @@ def trace_func(q):
     return out
 
 
-q_init = (
-    jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.num_chain, dim_q))
-    .astype(dtype)
+# Initialise chains by linear interpolation through a state sequence
+# consistent with the observations (reference
+# ``scripts/fhn_model_noisy_obs_hmc_experiment.py:105-134``): the unobserved
+# coordinate is padded with 0.5-scaled noise and per-step noise vectors are
+# solved so the path hits the targets.  Starting from a data-consistent path
+# keeps early warm-up trees bounded; from white-noise paths the first
+# iterations at max_tree_depth=20 run million-step trees.
+from manifold_mcmc_tpu.init.interpolation import (  # noqa: E402
+    find_initial_state_by_linear_interpolation,
+    make_unconstrained_init_model,
 )
+
+init_model = make_unconstrained_init_model(
+    obs_interval,
+    args.num_steps_per_obs,
+    num_obs,
+    dim_u,
+    fhn.dim_v_0,
+    fhn.dim_v,
+    fhn.dim_x,
+    fhn.forward_func,
+    fhn.generate_x_0,
+    fhn.generate_z,
+)
+
+
+def x_obs_target(key):
+    noise = jax.random.normal(key, y_seq.shape, dtype) * 0.5
+    return jnp.concatenate([y_seq, noise], axis=-1)
+
+
+init_keys = jax.random.split(
+    jax.random.PRNGKey(args.seed + 1), args.num_chain
+)
+q_init, _ = jax.vmap(
+    lambda k: find_initial_state_by_linear_interpolation(
+        init_model,
+        jax.random.fold_in(k, 1),
+        x_obs_target(jax.random.fold_in(k, 0)),
+    )
+)(init_keys)
+q_init = q_init.astype(dtype)
 
 summary_vars = ["σ", "ϵ", "γ", "β", "x_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_hmc_experiment(

@@ -97,11 +97,38 @@ def trace_func(q):
     return out
 
 
-q_init = (
-    jax.random.normal(jax.random.PRNGKey(args.seed + 1), (args.num_chain, dim_q))
-    .astype(dtype)
-    * 0.5
+# Initialise by the chain-vmapped gradient-descent on the exact posterior
+# (reference ``scripts/sir_model_hmc_experiment.py:105-128`` runs the same
+# noisy-system routine for its HMC chains).  The routine is defined on the
+# constrained (noisy) layout, so descend through an init-only constrained
+# system and keep the ``[u, v_0, v]`` core; the absorbed obs-noise
+# coordinates are dropped (the HMC target integrates them out analytically).
+from manifold_mcmc_tpu.init.optimization import (  # noqa: E402
+    find_initial_states_by_gradient_descent_noisy_system,
 )
+from manifold_mcmc_tpu.systems.constrained import (  # noqa: E402
+    ConditionedDiffusionConstrainedSystem,
+)
+
+init_system = ConditionedDiffusionConstrainedSystem(
+    obs_interval=obs_interval,
+    num_steps_per_obs=args.num_steps_per_obs,
+    num_obs_per_subseq=None,
+    y_seq=y_seq,
+    dim_u=dim_u,
+    dim_x=sir.dim_x,
+    dim_v=sir.dim_v,
+    forward_func=sir.forward_func,
+    generate_x_0=sir.generate_x_0,
+    generate_z=sir.generate_z,
+    obs_func=sir.obs_func,
+    generate_sigma=generate_sigma,
+    dim_v_0=sir.dim_v_0,
+)
+q_init_full, _ = find_initial_states_by_gradient_descent_noisy_system(
+    init_system, jax.random.PRNGKey(args.seed + 1), num_chains=args.num_chain
+)
+q_init = q_init_full[:, :dim_q].astype(dtype)
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_hmc_experiment(
