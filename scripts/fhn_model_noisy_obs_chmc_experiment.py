@@ -106,11 +106,15 @@ def x_obs_target(key):
 
 
 keys = jax.random.split(jax.random.PRNGKey(args.seed + 1), args.num_chain)
-q_init, x_obs_init = jax.vmap(
-    lambda k: find_initial_state_by_linear_interpolation(
-        system, jax.random.fold_in(k, 1), x_obs_target(jax.random.fold_in(k, 0))
-    )
-)(keys)
+with utils.cpu_init_scope():
+    q_init, x_obs_init = jax.vmap(
+        lambda k: find_initial_state_by_linear_interpolation(
+            system, jax.random.fold_in(k, 1), x_obs_target(jax.random.fold_in(k, 0))
+        )
+    )(keys)
+q_init, x_obs_init = jax.device_put(
+    (q_init, x_obs_init), jax.devices()[0]
+)
 
 summary_vars = ["σ", "ϵ", "γ", "β", "x_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(

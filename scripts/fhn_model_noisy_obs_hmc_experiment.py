@@ -136,14 +136,15 @@ def x_obs_target(key):
 init_keys = jax.random.split(
     jax.random.PRNGKey(args.seed + 1), args.num_chain
 )
-q_init, _ = jax.vmap(
-    lambda k: find_initial_state_by_linear_interpolation(
-        init_model,
-        jax.random.fold_in(k, 1),
-        x_obs_target(jax.random.fold_in(k, 0)),
-    )
-)(init_keys)
-q_init = q_init.astype(dtype)
+with utils.cpu_init_scope():
+    q_init, _ = jax.vmap(
+        lambda k: find_initial_state_by_linear_interpolation(
+            init_model,
+            jax.random.fold_in(k, 1),
+            x_obs_target(jax.random.fold_in(k, 0)),
+        )
+    )(init_keys)
+q_init = jax.device_put(q_init.astype(dtype), jax.devices()[0])
 
 summary_vars = ["σ", "ϵ", "γ", "β", "x_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_hmc_experiment(

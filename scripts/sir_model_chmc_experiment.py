@@ -98,11 +98,13 @@ def trace_func(q):
 # residual absorption (one jitted program, not one host loop per chain --
 # essential at 256+ chains through a high-latency accelerator tunnel).
 key = jax.random.PRNGKey(args.seed + 1)
-q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
-    system, key, num_chains=args.num_chain
+with utils.cpu_init_scope():
+    q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
+        system, key, num_chains=args.num_chain
+    )
+q_init, x_obs_init = jax.device_put(
+    (q_init.astype(dtype), x_obs_init.astype(dtype)), jax.devices()[0]
 )
-q_init = q_init.astype(dtype)
-x_obs_init = x_obs_init.astype(dtype)
 # SIR observations are daily infected counts (up to ~300), so the f32
 # constraint tolerance must be relative to that scale — see
 # utils/config.default_tolerances.

@@ -125,10 +125,13 @@ init_system = ConditionedDiffusionConstrainedSystem(
     generate_sigma=generate_sigma,
     dim_v_0=sir.dim_v_0,
 )
-q_init_full, _ = find_initial_states_by_gradient_descent_noisy_system(
-    init_system, jax.random.PRNGKey(args.seed + 1), num_chains=args.num_chain
+with utils.cpu_init_scope():
+    q_init_full, _ = find_initial_states_by_gradient_descent_noisy_system(
+        init_system, jax.random.PRNGKey(args.seed + 1), num_chains=args.num_chain
+    )
+q_init = jax.device_put(
+    q_init_full[:, :dim_q].astype(dtype), jax.devices()[0]
 )
-q_init = q_init_full[:, :dim_q].astype(dtype)
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_hmc_experiment(

@@ -34,6 +34,28 @@ def setup_jax(args):
         jax.config.update("jax_enable_x64", True)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    elif os.environ.get("JAX_PLATFORMS") not in (None, "", "cpu"):
+        # Keep the CPU backend available next to the accelerator so one-shot
+        # initialisation programs can run locally (see cpu_init_scope).
+        jax.config.update(
+            "jax_platforms", os.environ["JAX_PLATFORMS"] + ",cpu"
+        )
+
+
+def cpu_init_scope():
+    """Device scope for one-shot chain-initialisation computations.
+
+    Through a remote-compile TPU tunnel a large init program can block the
+    worker for tens of minutes of compile for a single execution whose FLOP
+    count is trivial.  Initialisation is run on the local CPU backend
+    instead (the sampler then pulls the arrays to the accelerator on first
+    dispatch).  No-op when CPU is already the default backend.
+    """
+    if jax.default_backend() == "cpu":
+        import contextlib
+
+        return contextlib.nullcontext()
+    return jax.default_device(jax.local_devices(backend="cpu")[0])
 
 
 def add_common_experiment_args(
