@@ -971,12 +971,25 @@ def sample_hmc_chains_host_loop(
             pos, _, stats = jax.vmap(nuts_chunk_finalize)(carry)
             return pos, stats
 
+        _tree_log = bool(_os.environ.get("MMT_TREE_LOG"))
+
         def _run_transition(q, keys, eps, metric):
             carry, k_next = _chunk_start(q, keys, metric)
             budget = jnp.array(int(max_steps_per_dispatch), jnp.int32)
+            rounds = 0
+            t0 = _time.time()
             while True:
                 carry, n_active = _chunk_expand(carry, eps, metric, budget)
-                if int(jax.device_get(n_active)) == 0:
+                rounds += 1
+                n = int(jax.device_get(n_active))
+                if _tree_log and rounds % 32 == 0:
+                    print(
+                        f"[hmc-host-loop] tree: {rounds} dispatches "
+                        f"(<= {rounds * int(max_steps_per_dispatch)} steps), "
+                        f"{n} chains active, {_time.time() - t0:.0f}s",
+                        flush=True,
+                    )
+                if n == 0:
                     break
             pos, stats = _chunk_finish(carry)
             return pos, k_next, stats
@@ -1180,7 +1193,19 @@ def sample_hmc_chains_host_loop(
             wf = fresh_welford()
             return da, wf, keys2
 
+        if progress_every:
+            print(
+                "[hmc-host-loop] entering step-size search", flush=True
+            )
+        _t_search = _time.time()
         da, wf, keys = retry_transient(_search_stage, what="step-size search")
+        if progress_every:
+            print(
+                f"[hmc-host-loop] step-size search done in "
+                f"{_time.time() - _t_search:.0f}s (median eps "
+                f"{float(jnp.median(jnp.exp(da.log_step))):.3g})",
+                flush=True,
+            )
         if clear_caches_between_stages:
             # Drop the search executables before the (large) tree-transition
             # programs load; they are never dispatched again.  Without this,
@@ -1249,7 +1274,9 @@ def sample_hmc_chains_host_loop(
                 # smoothed step, its own fixed point).
                 jax.block_until_ready(q)
                 save_checkpoint()
-            if progress_every and warm_done % progress_every == 0:
+            if progress_every and (
+                warm_done % progress_every == 0 or warm_done == 1
+            ):
                 jax.block_until_ready(q)
                 print(
                     f"[hmc-host-loop] warm iter {warm_done}/{num_warm_up_iter} "

@@ -423,7 +423,11 @@ def run_hmc_experiment(args, system, q_init, trace_func, summary_vars, output_di
             jax.random.PRNGKey(args.seed),
             progress_every=max(1, min(50, args.num_warm_up_iter // 5 or 1)),
             checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
-            checkpoint_every=25,
+            # One checkpoint per iteration: at canonical noisy-obs shapes a
+            # single deep-tree iteration costs minutes through the tunnel,
+            # and a time-bounded attempt must never lose a completed one.
+            # The save itself (a few MB of .npz) is negligible next to that.
+            checkpoint_every=1,
             max_steps_per_dispatch=chunk or None,
             # Tunnelled workers have bounded program memory: evict each
             # stage's executables once it completes (numerics unchanged).
