@@ -407,3 +407,48 @@ def test_sir_f32_projection_converges_at_scaled_tolerance(tmp_path):
     assert r["scaled_converged"], r
     # the f64-era absolute tolerance is unreachable in f32 at SIR obs scale
     assert not r["abs_converged"], r
+
+
+def test_unconstrained_init_model_interpolation(rng):
+    """make_unconstrained_init_model lets the HMC experiments (no constrained
+    system) reuse the interpolation init: the resulting [u, v_0, v] path must
+    hit the targets at every observation time (reference initialises its HMC
+    chains the same way, scripts/fhn_model_noisy_obs_hmc_experiment.py:105-134)."""
+    from manifold_mcmc_tpu.init.interpolation import (
+        find_initial_state_by_linear_interpolation,
+        make_unconstrained_init_model,
+    )
+
+    T, S, obs_interval = 6, 4, 0.2
+    model = make_unconstrained_init_model(
+        obs_interval,
+        S,
+        T,
+        fhn.dim_z,
+        fhn.dim_v_0,
+        fhn.dim_v,
+        fhn.dim_x,
+        fhn.forward_func,
+        fhn.generate_x_0,
+        fhn.generate_z,
+    )
+    targets = jnp.asarray(rng.standard_normal((T, fhn.dim_x)) * 0.3)
+    q, _ = find_initial_state_by_linear_interpolation(
+        model, jax.random.PRNGKey(2), targets
+    )
+    assert q.shape == (model.layout.dim_q,)
+    assert q.shape == (fhn.dim_z + fhn.dim_v_0 + T * S * fhn.dim_v,)
+    # Forward-simulate and check the path interpolates the targets.
+    u = q[: fhn.dim_z]
+    v_0 = q[fhn.dim_z : fhn.dim_z + fhn.dim_v_0]
+    v_seq = q[fhn.dim_z + fhn.dim_v_0 :].reshape((-1, fhn.dim_v))
+    z = fhn.generate_z(u)
+    x = fhn.generate_x_0(z, v_0)
+    hits = []
+    for i, v in enumerate(v_seq):
+        x = fhn.forward_func(z, x, v, obs_interval / S)
+        if (i + 1) % S == 0:
+            hits.append(x)
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(hits)), np.asarray(targets), atol=1e-6
+    )
