@@ -51,11 +51,17 @@ def cpu_init_scope():
     instead (the sampler then pulls the arrays to the accelerator on first
     dispatch).  No-op when CPU is already the default backend.
     """
-    if jax.default_backend() == "cpu":
-        import contextlib
+    import contextlib
 
+    if jax.default_backend() == "cpu":
         return contextlib.nullcontext()
-    return jax.default_device(jax.local_devices(backend="cpu")[0])
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # CPU platform not registered (e.g. explicit --platform axon):
+        # fall back to initialising on the accelerator.
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
 
 
 def add_common_experiment_args(
