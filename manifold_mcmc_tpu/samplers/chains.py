@@ -854,6 +854,7 @@ def sample_hmc_chains_host_loop(
     checkpoint_every=0,
     max_steps_per_dispatch=None,
     clear_caches_between_stages=False,
+    deadline_ts=None,
 ):
     """HMC driver with a *host-side* iteration loop (bounded dispatches).
 
@@ -1249,10 +1250,24 @@ def sample_hmc_chains_host_loop(
 
     t_start = _time.time()
     it_global = 0
+    deadline_hit = False
+
+    def _past_deadline():
+        return deadline_ts is not None and _time.time() >= deadline_ts
 
     def run_window(length, collect):
-        nonlocal q, da, wf, keys, warm_done, it_global
+        nonlocal q, da, wf, keys, warm_done, it_global, deadline_hit
         for _ in range(length):
+            if deadline_hit:
+                return
+            if it_global >= warm_done and _past_deadline():
+                # Clean partial exit (mirrors the CHMC host loop): persist
+                # and let the caller report the completed prefix; a rerun
+                # resumes from this exact iteration.
+                deadline_hit = True
+                jax.block_until_ready(q)
+                save_checkpoint()
+                return
             if it_global < warm_done:
                 # Fast-forward over iterations a previous process completed
                 # (checkpoints are saved post-boundary, so skipped windows
@@ -1295,7 +1310,7 @@ def sample_hmc_chains_host_loop(
         if it_global >= warm_done:
             wf = fresh_welford()
         run_window(w, True)
-        if warm_done == it_global:
+        if warm_done == it_global and not deadline_hit:
             metric = finalize_metric(ad.welford_merge_chains(wf))
             da = jax.vmap(
                 lambda d: ad.dual_averaging_init(
@@ -1305,10 +1320,21 @@ def sample_hmc_chains_host_loop(
             maybe_checkpoint_warm()
     run_window(term_buffer, False)
     step_size = ad.dual_averaging_finalize(da)
-    if num_warm_up_iter > 0 and warm_done == num_warm_up_iter and main_done == 0:
+    if (
+        num_warm_up_iter > 0
+        and warm_done == num_warm_up_iter
+        and main_done == 0
+        and not deadline_hit
+    ):
         maybe_checkpoint_warm()
 
     for it in range(main_done, num_main_iter):
+        if deadline_hit:
+            break
+        if _past_deadline():
+            deadline_hit = True
+            save_checkpoint()
+            break
 
         def _main_unit(q=q, keys=keys, counters=counters):
             q2, keys2, counters2, tr, st = main_iter(
@@ -1347,6 +1373,9 @@ def sample_hmc_chains_host_loop(
         "traces": merge(traces_acc),
         "stats": merge(stats_acc),
         "timings": {},
+        "partial": deadline_hit,
+        "num_warm_up_done": warm_done,
+        "num_main_done": main_done,
     }
 
 

@@ -824,3 +824,59 @@ def test_identity_metric_welford_is_placeholder():
         ad.welford_init = ad_welford_init
     assert captured["dims"], "welford_init never called"
     assert all(dim == 1 and diag for dim, diag in captured["dims"]), captured
+
+
+def test_hmc_host_loop_deadline_partial_and_resume(tmp_path):
+    """A deadline in the past stops the HMC host loop at the first live
+    iteration with a checkpoint + partial flags; resuming without a deadline
+    must reproduce the uninterrupted run bitwise (the CHMC host loop has the
+    same contract)."""
+    from manifold_mcmc_tpu.samplers.chains import sample_hmc_chains_host_loop
+
+    system = EuclideanSystem(banana_free_nld)
+    num_chains, dim = 3, 4
+    init = jax.random.normal(jax.random.PRNGKey(7), (num_chains, dim))
+    kwargs = dict(
+        num_warm_up_iter=10,
+        num_main_iter=6,
+        max_tree_depth=3,
+        metric_type="diagonal",
+        init_step_size=0.7,
+        trace_func=lambda q: {"pos": q},
+    )
+    ck = str(tmp_path / "ck.npz")
+    r_full = sample_hmc_chains_host_loop(
+        system, init, jax.random.PRNGKey(8), **kwargs
+    )
+    assert not r_full["partial"]
+    r_cut = sample_hmc_chains_host_loop(
+        system,
+        init,
+        jax.random.PRNGKey(8),
+        checkpoint_path=ck,
+        checkpoint_every=1,
+        deadline_ts=0.0,
+        **kwargs,
+    )
+    assert r_cut["partial"]
+    assert r_cut["num_warm_up_done"] == 0 and r_cut["num_main_done"] == 0
+    r_res = sample_hmc_chains_host_loop(
+        system,
+        init,
+        jax.random.PRNGKey(8),
+        checkpoint_path=ck,
+        checkpoint_every=1,
+        **kwargs,
+    )
+    assert not r_res["partial"]
+    np.testing.assert_array_equal(
+        np.asarray(r_full["final_pos"]), np.asarray(r_res["final_pos"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_full["traces"]["pos"]), np.asarray(r_res["traces"]["pos"])
+    )
+    np.testing.assert_allclose(
+        float(r_full["final_step_size"]),
+        float(r_res["final_step_size"]),
+        rtol=0,
+    )
