@@ -1404,6 +1404,7 @@ def sample_chmc_chains_host_loop(
     checkpoint_path=None,
     checkpoint_every=16,
     progress_every=0,
+    max_steps_per_dispatch=None,
     deadline_ts=None,
 ):
     """CHMC driver with a *host-side* sweep loop and crash-durable checkpoints.
@@ -1421,6 +1422,20 @@ def sample_chmc_chains_host_loop(
     sweeps so a crashed process resumes exactly where it stopped.  There is
     no in-graph step-size search; dual averaging adapts from
     ``init_step_size``.
+
+    With ``max_steps_per_dispatch=K`` each device dispatch executes at most
+    ``K`` constrained (RATTLE) integrator steps: the dynamic tree of every
+    sub-iteration is built through the resumable :func:`nuts_chunk_init` /
+    :func:`nuts_chunk_expand` / :func:`nuts_chunk_finalize` transition
+    (integrator-agnostic, so the constrained integrator slots straight in),
+    whose carry stays device-resident between dispatches.  A constrained
+    step is 1-2 orders heavier than a Euclidean leapfrog step (projection
+    solves inside), so even ``max_tree_depth=10`` trees (up to 1024 steps)
+    overrun tunnelled-worker execution watchdogs when dispatched whole --
+    the canonical noisy-obs CHMC runs require chunking.  RNG consumption is
+    identical (``k_mom, k_tree = split(sub_key)`` then the same tree
+    stream), so chunked and single-dispatch sweeps produce identical
+    trajectories.
 
     ``deadline_ts`` (absolute ``time.time()`` seconds, optional) makes the
     loop *deadline-aware*: before dispatching each sweep the remaining wall
@@ -1523,6 +1538,131 @@ def sample_chmc_chains_host_loop(
             lambda *xs: jnp.stack(xs, axis=1), *ds
         )
         return q, x_obs, keys, counters, stack(traces), stack(stats_out)
+
+    if max_steps_per_dispatch is not None and max_steps_per_dispatch > 0:
+        # Resumable-tree mode (mirrors sample_hmc_chains_host_loop): every
+        # device dispatch advances each chain's constrained NUTS tree by at
+        # most ``max_steps_per_dispatch`` RATTLE steps; the carry (tree +
+        # in-flight subtree, constrained points included) stays device-
+        # resident and the host reads back a single int per dispatch.
+        def make_chunk_start(p):
+            def fn(q, x_obs, sub_key):
+                def one(q0, x0, k0):
+                    integ = make_constrained_integrator(
+                        system, x0, partition=p, **solver_cfg
+                    )
+                    k_mom, k_tree = _split_keys(k0, 2)
+                    point = integ.init(q0, jnp.zeros_like(q0), metric)
+                    point = point._replace(
+                        mom=integ.sample_momentum(k_mom, point, metric)
+                    )
+                    return nuts_chunk_init(
+                        integ, metric, point, k_tree, max_tree_depth
+                    )
+
+                return jax.vmap(one)(q, x_obs, sub_key)
+
+            return jax.jit(fn)
+
+        def make_chunk_expand(p):
+            def fn(carry, x_obs, eps, budget):
+                def one(c, x0, e):
+                    integ = make_constrained_integrator(
+                        system, x0, partition=p, **solver_cfg
+                    )
+                    return nuts_chunk_expand(
+                        integ, metric, c, e, budget, max_tree_depth, max_delta_h
+                    )
+
+                out = jax.vmap(one)(carry, x_obs, eps)
+                return out, jnp.sum(~out.done)
+
+            return jax.jit(fn)
+
+        chunk_starts = [make_chunk_start(p) for p in range(num_partition)]
+        chunk_expands = [make_chunk_expand(p) for p in range(num_partition)]
+
+        @jax.jit
+        def _chunk_finish(carry):
+            pos, _, stats = jax.vmap(nuts_chunk_finalize)(carry)
+            x_obs = jax.vmap(system.generate_x_obs_seq)(pos)
+            return pos, x_obs, stats
+
+        @jax.jit
+        def _warm_eps(da):
+            return jnp.exp(da.log_step)
+
+        @jax.jit
+        def _bcast_eps(step_size):
+            return jnp.broadcast_to(
+                jnp.asarray(step_size, dtype), (num_chains,)
+            )
+
+        @jax.jit
+        def _warm_post(da, stats):
+            return jax.vmap(
+                lambda d, a: ad.dual_averaging_update(
+                    d,
+                    a,
+                    adapt_stat_target=adapt_stat_target,
+                    reg_coefficient=step_size_reg_coefficient,
+                )
+            )(da, stats["accept_stat"])
+
+        @jax.jit
+        def _main_post(q1, counters, stats):
+            def one(q0, c0, s0):
+                c1 = _update_counters(c0, s0)
+                return c1, {**trace_func(q0), **c1}
+
+            return jax.vmap(one)(q1, counters, stats)
+
+        _tree_log = bool(_os.environ.get("MMT_TREE_LOG"))
+
+        def _run_sub_transition(q, x_obs, sub_key, eps, p):
+            carry = chunk_starts[p](q, x_obs, sub_key)
+            budget = jnp.array(int(max_steps_per_dispatch), jnp.int32)
+            rounds = 0
+            t0 = _time.time()
+            while True:
+                carry, n_active = chunk_expands[p](carry, x_obs, eps, budget)
+                rounds += 1
+                n = int(jax.device_get(n_active))
+                if _tree_log and rounds % 8 == 0:
+                    print(
+                        f"[chmc-host-loop] tree p{p}: {rounds} dispatches "
+                        f"(<= {rounds * int(max_steps_per_dispatch)} steps), "
+                        f"{n} chains active, {_time.time() - t0:.0f}s",
+                        flush=True,
+                    )
+                if n == 0:
+                    break
+            return _chunk_finish(carry)
+
+        def warm_sweep(q, x_obs, da, keys):  # noqa: F811
+            keys, sub_keys = split_sweep_keys(keys)
+            for p in range(num_partition):
+                q, x_obs, stats = _run_sub_transition(
+                    q, x_obs, sub_keys[:, p], _warm_eps(da), p
+                )
+                da = _warm_post(da, stats)
+            return q, x_obs, da, keys
+
+        def main_sweep(q, x_obs, step_size, keys, counters):  # noqa: F811
+            keys, sub_keys = split_sweep_keys(keys)
+            eps = _bcast_eps(step_size)
+            traces, stats_out = [], []
+            for p in range(num_partition):
+                q, x_obs, stats = _run_sub_transition(
+                    q, x_obs, sub_keys[:, p], eps, p
+                )
+                counters, tr = _main_post(q, counters, stats)
+                traces.append(tr)
+                stats_out.append(stats)
+            stack = lambda ds: jax.tree_util.tree_map(  # noqa: E731
+                lambda *xs: jnp.stack(xs, axis=1), *ds
+            )
+            return q, x_obs, keys, counters, stack(traces), stack(stats_out)
 
     n_warm_sweeps = math.ceil(num_warm_up_iter / num_partition)
     n_main_sweeps = math.ceil(num_main_iter / num_partition)

@@ -251,6 +251,28 @@ def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
             "the in-graph driver runs its own coarse search)"
         ),
     )
+    parser.add_argument(
+        "--max-steps-per-dispatch",
+        type=int,
+        default=None,
+        help=(
+            "Host driver only: bound every device dispatch to at most this "
+            "many constrained (RATTLE) steps via the resumable chunked tree "
+            "transition (default: 64 on accelerators -- a constrained step "
+            "is 1-2 orders heavier than a leapfrog step, so even depth-10 "
+            "trees overrun tunnelled-worker execution watchdogs when "
+            "dispatched whole; 0 disables chunking)"
+        ),
+    )
+    parser.add_argument(
+        "--checkpoint-every",
+        type=int,
+        default=None,
+        help=(
+            "Host driver only: checkpoint the full sampler state every N "
+            "sweeps (default: 1 on accelerators, 16 on CPU)"
+        ),
+    )
 
 
 def add_experiment_grid_args(parser):
@@ -348,6 +370,21 @@ def run_chmc_experiment(
     )
     start = time.time()
     if driver == "host":
+        on_accel = jax.default_backend() != "cpu"
+        chunk = getattr(args, "max_steps_per_dispatch", None)
+        if chunk is None and on_accel:
+            # A constrained RATTLE step (projection solves inside) is 1-2
+            # orders heavier than a Euclidean leapfrog step, so even
+            # depth-10 trees (up to 1024 steps) overrun tunnelled-worker
+            # execution watchdogs (~20-40 s) when dispatched whole.  Chunk
+            # unconditionally on accelerators; RNG stream and results are
+            # unchanged.
+            chunk = 64
+        ckpt_every = getattr(args, "checkpoint_every", None)
+        if ckpt_every is None:
+            # Accelerator sweeps cost minutes through the tunnel; a
+            # time-bounded attempt must never lose a completed one.
+            ckpt_every = 1 if on_accel else 16
         result = sample_chmc_chains_host_loop(
             system,
             q_init,
@@ -355,8 +392,9 @@ def run_chmc_experiment(
             jax.random.PRNGKey(args.seed),
             init_step_size=getattr(args, "init_step_size", 0.5),
             checkpoint_path=os.path.join(output_dir, "checkpoint.npz"),
-            checkpoint_every=16,
-            progress_every=16,
+            checkpoint_every=ckpt_every,
+            progress_every=4 if on_accel else 16,
+            max_steps_per_dispatch=chunk or None,
             **common,
         )
     else:

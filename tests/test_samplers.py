@@ -453,6 +453,58 @@ def test_host_loop_matches_ingraph_driver(rng):
     assert len(r_host["timings"]["main_sweep_s"]) == 4
 
 
+def test_chmc_host_loop_chunked_matches_unchunked(rng):
+    """``max_steps_per_dispatch`` on the CHMC host loop changes only the
+    dispatch granularity: the resumable chunked tree consumes the identical
+    RNG stream with the constrained (RATTLE) integrator, so traces, final
+    state, adapted step size and tree statistics must be identical."""
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains_host_loop
+
+    num_obs = 4
+    y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    _, _, q_star = analytic_conditional(y_seq)
+    num_chains = 3
+    q_init = jnp.broadcast_to(jnp.asarray(q_star), (num_chains, len(q_star))) + 0.0
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+
+    kwargs = dict(
+        num_warm_up_iter=6,
+        num_main_iter=8,
+        max_tree_depth=3,
+        init_step_size=0.4,
+        trace_func=lambda q: {"pos_head": q[:2]},
+    )
+    r_ref = sample_chmc_chains_host_loop(
+        system, q_init, x_obs_init, jax.random.PRNGKey(7), **kwargs
+    )
+    r_chunk = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(7),
+        max_steps_per_dispatch=3,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref["final_pos"]), np.asarray(r_chunk["final_pos"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_ref["traces"]["pos_head"]),
+        np.asarray(r_chunk["traces"]["pos_head"]),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(r_ref["final_step_size"]), float(r_chunk["final_step_size"]),
+        rtol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(r_ref["stats"]["n_step"]),
+        np.asarray(r_chunk["stats"]["n_step"]),
+    )
+
+
 @pytest.mark.slow
 def test_host_loop_checkpoint_resume(rng, tmp_path):
     """Killing the host loop mid-run and resuming from its .npz checkpoint
