@@ -1,0 +1,95 @@
+"""Summarise a mid-run experiment checkpoint into ``partial_summary.json``.
+
+The host-loop drivers checkpoint every iteration (``checkpoint.npz`` with
+``trc__*`` / ``stc__*`` ring arrays and ``warm_done`` / ``main_done``
+progress counters -- see ``manifold_mcmc_tpu/samplers/chains.py``), so a run
+killed by a wall-clock deadline still holds every completed main-phase draw.
+This tool computes the same per-variable summary the experiment CLIs write
+at completion (``manifold_mcmc_tpu/utils/stats.summary``, mirroring the
+reference's arviz table at ``/root/reference/scripts/utils.py:368-381``)
+from whatever prefix of the main phase finished, without touching the
+checkpoint (resume still works afterwards).
+
+Usage:
+    python scripts/summarize_checkpoint.py OUTPUT_DIR [--min-draws N]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from manifold_mcmc_tpu.utils import stats
+
+
+def summarize_checkpoint(output_dir, min_draws=8):
+    ck_path = os.path.join(output_dir, "checkpoint.npz")
+    ck = np.load(ck_path, allow_pickle=True)
+    warm_done = int(ck["warm_done"])
+    main_done = int(ck["main_done"])
+    if main_done < min_draws:
+        raise SystemExit(
+            f"only {main_done} main draws in checkpoint (< {min_draws}); "
+            "nothing to summarise"
+        )
+    traces = {}
+    for key in ck.files:
+        if key.startswith("trc__"):
+            traces[key[len("trc__"):]] = ck[key][:, :main_done]
+    param_names = [
+        k for k in traces if not k.endswith("_calls") and k != "hamiltonian"
+    ]
+    out = stats.summary(traces, param_names)
+    out["partial"] = True
+    out["warm_up_iters_completed"] = warm_done
+    out["main_iters_completed"] = main_done
+    out["num_chains"] = int(next(iter(traces.values())).shape[0])
+    if "step_size" in ck.files:
+        out["final_integrator_step_size"] = float(ck["step_size"])
+    if "da_log_step" in ck.files:
+        ls = np.asarray(ck["da_log_step"], dtype=np.float64)
+        with np.errstate(over="ignore"):
+            eps = np.exp(ls)
+        out["per_chain_step_size"] = {
+            "median": float(np.median(eps)),
+            "min": float(eps.min()),
+            "max": float(eps.max()),
+        }
+    for key in ck.files:
+        if key.startswith("stc__"):
+            arr = np.asarray(ck[key][:, :main_done], dtype=np.float64)
+            out.setdefault("sampler_stats_mean", {})[key[len("stc__"):]] = float(
+                np.nanmean(arr)
+            )
+    for key, value in traces.items():
+        if key.endswith("_calls"):
+            out["total_" + key] = int(np.asarray(value)[:, -1].sum())
+    dest = os.path.join(output_dir, "partial_summary.json")
+    with open(dest, "w") as f:
+        json.dump(out, f, ensure_ascii=False, indent=2)
+    return dest, out
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("output_dir")
+    parser.add_argument("--min-draws", type=int, default=8)
+    args = parser.parse_args()
+    dest, out = summarize_checkpoint(args.output_dir, args.min_draws)
+    print(f"wrote {dest}")
+    print(
+        f"completed: {out['warm_up_iters_completed']} warm-up + "
+        f"{out['main_iters_completed']} main iterations, "
+        f"{out['num_chains']} chains"
+    )
+    for col in ("mean", "ess_bulk", "r_hat"):
+        row = ", ".join(f"{k}={v:.3g}" for k, v in out[col].items() if v == v)
+        print(f"{col}: {row}")
+
+
+if __name__ == "__main__":
+    main()
