@@ -138,12 +138,58 @@ def chol_gram_blocks(M_0, du, dv, dn, num_state_rows_per_block):
     """Cholesky factors of the Woodbury decomposition of ``dc M^-1 dc^T``.
 
     Returns ``(chol_C, chol_D_blocks)`` with ``C = M_0 + J_u^T D^-1 J_u``.
+
+    Backend: ``MMT_GRAM_BACKEND=pallas`` (``pallas-interpret`` on CPU) routes
+    the batched middle blocks through the fused single-kernel pipeline in
+    :mod:`manifold_mcmc_tpu.ops.pallas_gram`; unset/``jnp`` keeps the pure-XLA
+    path below (the default -- traced programs are unchanged).
     """
+    import os
+
+    backend = os.environ.get("MMT_GRAM_BACKEND", "jnp")
+    if backend.startswith("pallas"):
+        return _chol_gram_blocks_pallas(
+            M_0, du, dv, dn, num_state_rows_per_block,
+            interpret=backend == "pallas-interpret",
+        )
     D_blocks = compute_D_blocks(dv, dn, dv, dn, num_state_rows_per_block)
     chol_D = tuple(_cholesky(D) for D in D_blocks)
     D_inv_du = tuple(_cho_solve(cD, dub) for cD, dub in zip(chol_D, du))
     chol_C = _cholesky(M_0 + _sum_uT_v(du, D_inv_du))
     return chol_C, chol_D
+
+
+def _chol_gram_blocks_pallas(M_0, du, dv, dn, num_state_rows_per_block, interpret):
+    """Fused-kernel variant of :func:`chol_gram_blocks` (same contract).
+
+    Batched (ndim-3) blocks run through one Pallas kernel per block group
+    (Gram rows, Cholesky, solves and the ``J_u^T D^-1 J_u`` accumulation all
+    in VMEM); unbatched initial/final blocks keep the library path, which is
+    already cheap at their size.
+    """
+    from manifold_mcmc_tpu.ops import pallas_gram
+
+    chol_D = []
+    total = 0
+    for b, (dub, dvb) in enumerate(zip(du, dv)):
+        dnb = None if dn is None else dn[b]
+        if dvb.ndim == 3 and (dn is None or dnb is not None):
+            cD, _, sum_duT, _ = pallas_gram.fused_chol_gram_middle(
+                dvb, dub, dnb, num_state_rows_per_block[b], interpret=interpret
+            )
+            chol_D.append(cD)
+            total = total + sum_duT
+        else:
+            dn_one = None if dnb is None else (dnb,)
+            D = compute_D_blocks(
+                (dvb,), dn_one, (dvb,), dn_one, (num_state_rows_per_block[b],)
+            )[0]
+            cD = _cholesky(D)
+            D_inv_dub = _cho_solve(cD, dub)
+            chol_D.append(cD)
+            total = total + _sum_uT_v((dub,), (D_inv_dub,))
+    chol_C = _cholesky(M_0 + total)
+    return chol_C, tuple(chol_D)
 
 
 def lu_jacob_product_blocks(M_0, jac_l, jac_r, num_state_rows_per_block):
