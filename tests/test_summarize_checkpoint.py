@@ -1,0 +1,67 @@
+"""Tests for scripts/summarize_checkpoint.py (partial-result contract).
+
+A deadline-killed host-loop run leaves ``checkpoint.npz`` with ring-buffer
+traces and progress counters; the summariser must report exactly the
+completed main-phase prefix, leave the checkpoint untouched (resume safety),
+and refuse to summarise when too few draws completed.
+"""
+
+import importlib.util
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+_spec = importlib.util.spec_from_file_location(
+    "summarize_checkpoint",
+    os.path.join(os.path.dirname(__file__), "..", "scripts",
+                 "summarize_checkpoint.py"),
+)
+summarize_checkpoint_mod = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(summarize_checkpoint_mod)
+summarize_checkpoint = summarize_checkpoint_mod.summarize_checkpoint
+
+
+def _write_checkpoint(path, chains=4, capacity=50, main_done=20):
+    rng = np.random.default_rng(0)
+    trc = rng.standard_normal((chains, capacity))
+    trc[:, main_done:] = 1e30  # garbage past the completed prefix
+    np.savez(
+        path,
+        warm_done=np.int64(10),
+        main_done=np.int64(main_done),
+        step_size=np.float32(0.1),
+        da_log_step=np.full(chains, np.log(0.1), np.float32),
+        trc__sigma=trc.astype(np.float32),
+        trc__constr_calls=np.cumsum(
+            np.ones((chains, capacity), np.int32), axis=1
+        ),
+        stc__accept_stat=np.full((chains, capacity), 0.8, np.float32),
+    )
+
+
+def test_summarize_partial_prefix(tmp_path):
+    ck = tmp_path / "checkpoint.npz"
+    _write_checkpoint(str(ck))
+    before = ck.read_bytes()
+    dest, out = summarize_checkpoint(str(tmp_path))
+    assert ck.read_bytes() == before, "checkpoint must not be modified"
+    assert out["partial"] is True
+    assert out["main_iters_completed"] == 20
+    assert out["warm_up_iters_completed"] == 10
+    assert out["num_chains"] == 4
+    # Garbage beyond the prefix must not leak into the summary.
+    assert np.isfinite(out["mean"]["sigma"]) and abs(out["mean"]["sigma"]) < 10
+    assert out["sampler_stats_mean"]["accept_stat"] == pytest.approx(0.8)
+    assert out["total_constr_calls"] == 4 * 20
+    assert out["per_chain_step_size"]["median"] == pytest.approx(0.1, rel=1e-5)
+    with open(dest) as f:
+        assert json.load(f)["main_iters_completed"] == 20
+
+
+def test_refuses_too_few_draws(tmp_path):
+    _write_checkpoint(str(tmp_path / "checkpoint.npz"), main_done=3)
+    with pytest.raises(SystemExit):
+        summarize_checkpoint(str(tmp_path), min_draws=8)
