@@ -26,20 +26,56 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from manifold_mcmc_tpu.utils import stats
 
 
+def _load_completed_traces(ck):
+    """Extract ``(warm_done, main_done, traces, stats)`` from either schema.
+
+    HMC host-loop checkpoints store ring buffers with ``warm_done`` /
+    ``main_done`` iteration counters; CHMC host-loop checkpoints store a
+    ``sweep`` counter plus per-key ``(chains, sweeps_done, partitions, ...)``
+    arrays holding exactly the completed main sweeps
+    (``samplers/chains.py`` ``_save_payload``).
+    """
+    def load(prefix, main_done=None):
+        out = {}
+        for key in ck.files:
+            if key.startswith(prefix):
+                arr = ck[key]
+                if main_done is not None:  # ring-buffer schema
+                    out[key[len(prefix):]] = arr[:, :main_done]
+                else:  # completed-sweeps schema: flatten (sweeps, partitions)
+                    out[key[len(prefix):]] = arr.reshape(
+                        (arr.shape[0], arr.shape[1] * arr.shape[2])
+                        + arr.shape[3:]
+                    )
+        return out
+
+    if "main_done" in ck.files:
+        warm_done = int(ck["warm_done"])
+        main_done = int(ck["main_done"])
+        return warm_done, main_done, load("trc__", main_done), load(
+            "stc__", main_done
+        )
+    sweep = int(ck["sweep"])
+    main_sweeps_done = 0
+    num_partition = 1
+    for key in ck.files:
+        if key.startswith("trc__"):
+            main_sweeps_done, num_partition = ck[key].shape[1:3]
+            break
+    main_done = int(main_sweeps_done * num_partition)
+    warm_done = int((sweep - main_sweeps_done) * num_partition)
+    return warm_done, main_done, load("trc__"), load("stc__")
+
+
 def summarize_checkpoint(output_dir, min_draws=8):
     ck_path = os.path.join(output_dir, "checkpoint.npz")
     ck = np.load(ck_path, allow_pickle=True)
-    warm_done = int(ck["warm_done"])
-    main_done = int(ck["main_done"])
+    warm_done, main_done, traces, sampler_stats = _load_completed_traces(ck)
     if main_done < min_draws:
         raise SystemExit(
             f"only {main_done} main draws in checkpoint (< {min_draws}); "
             "nothing to summarise"
         )
-    traces = {}
-    for key in ck.files:
-        if key.startswith("trc__"):
-            traces[key[len("trc__"):]] = ck[key][:, :main_done]
     param_names = [
         k for k in traces if not k.endswith("_calls") and k != "hamiltonian"
     ]
@@ -59,12 +95,10 @@ def summarize_checkpoint(output_dir, min_draws=8):
             "min": float(eps.min()),
             "max": float(eps.max()),
         }
-    for key in ck.files:
-        if key.startswith("stc__"):
-            arr = np.asarray(ck[key][:, :main_done], dtype=np.float64)
-            out.setdefault("sampler_stats_mean", {})[key[len("stc__"):]] = float(
-                np.nanmean(arr)
-            )
+    for key, value in sampler_stats.items():
+        out.setdefault("sampler_stats_mean", {})[key] = float(
+            np.nanmean(np.asarray(value, dtype=np.float64))
+        )
     for key, value in traces.items():
         if key.endswith("_calls"):
             out["total_" + key] = int(np.asarray(value)[:, -1].sum())

@@ -61,6 +61,33 @@ def test_summarize_partial_prefix(tmp_path):
         assert json.load(f)["main_iters_completed"] == 20
 
 
+def test_summarize_chmc_sweep_schema(tmp_path):
+    """CHMC host-loop checkpoints count sweeps and hold exactly the
+    completed main sweeps as (chains, sweeps, partitions, ...) arrays."""
+    chains, sweeps, partitions = 4, 6, 2
+    rng = np.random.default_rng(1)
+    np.savez(
+        tmp_path / "checkpoint.npz",
+        sweep=np.int64(250 + sweeps),  # 250 warm sweeps + 6 main sweeps
+        step_size=np.float32(0.25),
+        trc__sigma=rng.standard_normal(
+            (chains, sweeps, partitions)
+        ).astype(np.float32),
+        trc__x_0=rng.standard_normal(
+            (chains, sweeps, partitions, 2)
+        ).astype(np.float32),
+        stc__accept_stat=np.full(
+            (chains, sweeps, partitions), 0.75, np.float32
+        ),
+    )
+    _, out = summarize_checkpoint(str(tmp_path))
+    assert out["main_iters_completed"] == sweeps * partitions
+    assert out["warm_up_iters_completed"] == 250 * partitions
+    assert out["sampler_stats_mean"]["accept_stat"] == pytest.approx(0.75)
+    assert set(out["mean"]) == {"sigma", "x_0[0]", "x_0[1]"}
+    assert np.isfinite(list(out["r_hat"].values())).all()
+
+
 def test_refuses_too_few_draws(tmp_path):
     _write_checkpoint(str(tmp_path / "checkpoint.npz"), main_done=3)
     with pytest.raises(SystemExit):
