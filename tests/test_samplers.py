@@ -47,7 +47,7 @@ def lin_obs(x_seq):
     return x_seq[..., 0:1]
 
 
-def build_linear_system(y_seq, num_obs_per_subseq):
+def build_linear_system(y_seq, num_obs_per_subseq, use_gaussian_splitting=False):
     return ConditionedDiffusionConstrainedSystem(
         obs_interval=0.5,
         num_steps_per_obs=2,
@@ -61,6 +61,7 @@ def build_linear_system(y_seq, num_obs_per_subseq):
         generate_z=lin_generate_z,
         obs_func=lin_obs,
         dim_v_0=1,
+        use_gaussian_splitting=use_gaussian_splitting,
     )
 
 
@@ -86,12 +87,20 @@ def analytic_conditional(y_seq):
     return mean, cov, q_star
 
 
-@pytest.mark.parametrize("blocking", [None, 2])
+@pytest.mark.parametrize(
+    "blocking,gaussian",
+    [(None, False), (2, False), (2, True)],
+    ids=["unblocked", "blocked", "blocked-gaussian-splitting"],
+)
 @pytest.mark.slow
-def test_chmc_matches_analytic_gaussian_manifold(rng, blocking):
+def test_chmc_matches_analytic_gaussian_manifold(rng, blocking, gaussian):
+    """The Gaussian-splitting case exercises the rotation h2-flow + the
+    sin(dt)-rescaled projection end-to-end (reference
+    ``sde/mici_extensions.py:1060-1063``): both splittings must leave the
+    same manifold-conditioned standard normal invariant."""
     num_obs = 4
     y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.7)
-    system = build_linear_system(y_seq, blocking)
+    system = build_linear_system(y_seq, blocking, use_gaussian_splitting=gaussian)
     mean, cov, q_star = analytic_conditional(y_seq)
 
     # NOTE: for the affine constraint the blocked constraint at consistent
@@ -127,9 +136,15 @@ def test_chmc_matches_analytic_gaussian_manifold(rng, blocking):
     np.testing.assert_allclose(
         samples.var(0), np.diag(cov), rtol=0.35, atol=0.02
     )
-    # Acceptance adapted near target.
+    # Acceptance adapted near target.  Under Gaussian splitting the rotation
+    # flow is exact on this purely Gaussian fixture, so the energy error is
+    # ~0 and accept == 1 at any step size; only standard splitting has a
+    # step-size/accept trade-off for dual averaging to balance.
     acc = np.asarray(result["stats"]["accept_stat"])
-    assert 0.55 < acc.mean() < 0.99
+    if gaussian:
+        assert acc.mean() > 0.99
+    else:
+        assert 0.55 < acc.mean() < 0.99
     # Every sample stays on the manifold (spot check the last iterate).
     c_final = jax.vmap(lambda q, x: system.constr(q, x, 0))(
         result["final_pos"], jax.vmap(system.generate_x_obs_seq)(result["final_pos"])
