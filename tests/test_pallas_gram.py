@@ -36,16 +36,21 @@ def _random_blocks(rng, count=3, rows=5, m=17, dim_u=4, obs_rows=2, noisy=True,
 
 
 @pytest.mark.parametrize("noisy", [False, True])
-def test_fused_matches_reference(rng, noisy):
-    dv, du, dn = _random_blocks(rng, noisy=noisy)
+@pytest.mark.parametrize("dtype", [np.float64, np.float32],
+                         ids=["f64", "f32"])
+def test_fused_matches_reference(rng, noisy, dtype):
+    dv, du, dn = _random_blocks(rng, noisy=noisy, dtype=dtype)
     num_state_rows = 3  # rows=5, obs_rows=2
     ref = pallas_gram.middle_reference(dv, du, dn, num_state_rows)
     out = pallas_gram.fused_chol_gram_middle(
         dv, du, dn, num_state_rows, interpret=True
     )
+    tol = dict(rtol=1e-10, atol=1e-12) if dtype == np.float64 else dict(
+        rtol=2e-5, atol=1e-6
+    )
     for r, o in zip(ref, out):
-        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-10,
-                                   atol=1e-12)
+        assert np.asarray(o).dtype == dtype
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), **tol)
 
 
 def test_fused_vmap_over_chains(rng):
