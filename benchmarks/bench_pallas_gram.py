@@ -117,6 +117,21 @@ def main():
         results[f"chol_gram_logdet_{backend}"] = timeit(
             fn, jac, label=f"chol_gram+logdet [{backend}]"
         )
+
+        # Gradient path: the fused kernel's custom_vjp replays the jnp
+        # reference in the backward pass, so this quantifies what a
+        # hand-written backward kernel could still win.
+        grad_fn = jax.jit(
+            jax.vmap(
+                lambda q_, x_: system.grad_log_det_sqrt_gram(
+                    q_, x_, partition=0
+                )[1]
+            )
+        )
+        jax.block_until_ready(grad_fn(q, x_obs))
+        results[f"grad_log_det_{backend}"] = timeit(
+            grad_fn, q, x_obs, label=f"grad log-det-gram [{backend}]"
+        )
     os.environ.pop("MMT_GRAM_BACKEND", None)
     print(json.dumps(results))
 
