@@ -267,7 +267,7 @@ def main():
             divergence_tol=tols["divergence_tol"],
         )
         pt = integ_i.init(q_, m_, metric)
-        pt2, ok, iters = integ_i.step(pt, 0.01, metric)
+        pt2, ok, _nonrev, iters = integ_i.step(pt, 0.01, metric)
         return pt2.pos, ok, iters
 
     step_v = jax.jit(jax.vmap(one_step))

@@ -65,7 +65,7 @@ def find_reasonable_step_size(integ, metric, point, init_step_size=1.0, max_trie
     dtype = point.pos.dtype
 
     def neg_delta_h(eps):
-        pt, ok, _ = integ.step(point, eps, metric)
+        pt, ok, _, _ = integ.step(point, eps, metric)
         h1 = integ.energy(pt, metric)
         ndh = h0 - h1
         return jnp.where(ok & jnp.isfinite(ndh), ndh, -jnp.inf)
@@ -108,7 +108,7 @@ def find_step_size_cliff(integ, metric, point, init_step_size=1.0, max_tries=30)
     dtype = point.pos.dtype
 
     def ok_at(eps):
-        _, ok, _ = integ.step(point, eps, metric)
+        _, ok, _, _ = integ.step(point, eps, metric)
         return ok
 
     eps0 = jnp.asarray(init_step_size, dtype)
@@ -490,15 +490,34 @@ def _chmc_warm_carry(warm_sweep_chain, carry):
 
 def _concat_sweep_chunks(chunks):
     """Merge per-key chunks of shape (chains, k_i, partitions, ...) along the
-    sweep axis into one plain array per key (no object arrays anywhere)."""
+    sweep axis into one plain array per key (no object arrays anywhere).
+
+    Keys are the union over chunks: a checkpoint written before a statistic
+    existed (e.g. ``non_reversible_step`` added mid-run) resumes cleanly,
+    with the missing prefix zero-filled at the old chunk's sweep length.
+    """
     import numpy as onp
 
     if not chunks:
         return {}
-    return {
-        k: onp.concatenate([c[k] for c in chunks], axis=1)
-        for k in chunks[0].keys()
-    }
+    keys = []
+    for c in chunks:
+        keys.extend(k for k in c.keys() if k not in keys)
+
+    def sweep_len(c):
+        return next(iter(c.values())).shape[1]
+
+    def get(c, k, template):
+        if k in c:
+            return c[k]
+        shape = (template.shape[0], sweep_len(c)) + template.shape[2:]
+        return onp.zeros(shape, template.dtype)
+
+    out = {}
+    for k in keys:
+        template = next(c[k] for c in chunks if k in c)
+        out[k] = onp.concatenate([get(c, k, template) for c in chunks], axis=1)
+    return out
 
 
 # Backend fault texts observed to be TRANSIENT on tunnelled accelerator
@@ -1139,7 +1158,7 @@ def sample_hmc_chains_host_loop(
                     mom=integ.sample_momentum(k_mom, point, metric)
                 )
                 h0 = integ.energy(point, metric)
-                pt1, ok, _ = integ.step(point, eps0, metric)
+                pt1, ok, _, _ = integ.step(point, eps0, metric)
                 nd0 = h0 - integ.energy(pt1, metric)
                 nd0 = jnp.where(ok & jnp.isfinite(nd0), nd0, -jnp.inf)
                 direction = jnp.where(nd0 > jnp.log(0.5), 1.0, -1.0).astype(
@@ -1153,7 +1172,7 @@ def sample_hmc_chains_host_loop(
         def search_iter(point, h0, eps, nd, direction, i, active):
             def one(point, h0, eps, nd, direction, active):
                 eps_next = jnp.where(active, eps * jnp.exp2(direction), eps)
-                pt1, ok, _ = integ.step(point, eps_next, metric)
+                pt1, ok, _, _ = integ.step(point, eps_next, metric)
                 nd1 = h0 - integ.energy(pt1, metric)
                 nd1 = jnp.where(ok & jnp.isfinite(nd1), nd1, -jnp.inf)
                 return eps_next, jnp.where(active, nd1, nd)

@@ -20,8 +20,11 @@ leaf at odd ``n`` checks the spans of every complete binary subtree ending at
 
 Integrator failures (projection non-convergence, non-reversible steps,
 non-finite Hamiltonians) terminate trajectory expansion and surface in the
-returned statistics (``convergence_error``, ``diverging``), mirroring the
-reference's exception->rejection contract (SURVEY.md section 2.4).
+returned statistics (``convergence_error``, ``non_reversible_step``,
+``diverging``), mirroring the reference's exception->rejection contract
+(SURVEY.md section 2.4): Mici records ``ConvergenceError`` and
+``NonReversibleStepError`` under separate chain-statistic keys, so the two
+failure modes are kept distinguishable here too.
 """
 
 from typing import Any, NamedTuple
@@ -57,6 +60,7 @@ class _TreeState(NamedTuple):
     turning: Any
     diverging: Any
     error: Any
+    nonrev: Any  # a reversibility check specifically failed
 
 
 class _SubtreeState(NamedTuple):
@@ -76,6 +80,7 @@ class _SubtreeState(NamedTuple):
     turning: Any
     diverging: Any
     error: Any
+    nonrev: Any  # a reversibility check specifically failed
 
 
 def _velocity(mom, metric):
@@ -102,7 +107,9 @@ def _subtree_leaf(
     """
     dtype = s.point.pos.dtype
     key, take_key = jax.random.split(s.key)
-    point, ok, iters = integrator.step(s.point, direction * step_size, metric)
+    point, ok, nonrev, iters = integrator.step(
+        s.point, direction * step_size, metric
+    )
     h = integrator.energy(point, metric)
     delta_h = h - h0
     delta_h = jnp.where(jnp.isnan(delta_h), jnp.inf, delta_h)
@@ -160,6 +167,7 @@ def _subtree_leaf(
         turning=s.turning | turning,
         diverging=s.diverging | diverging,
         error=s.error | error,
+        nonrev=s.nonrev | nonrev,
     )
 
 
@@ -183,6 +191,7 @@ def _init_subtree_state(start_point, key, max_tree_depth):
         turning=jnp.array(False),
         diverging=jnp.array(False),
         error=jnp.array(False),
+        nonrev=jnp.array(False),
     )
 
 
@@ -271,6 +280,7 @@ def _merge_subtree(t, sub, go_right, accept_key, metric, new_key):
         turning=t.turning | (keep & merged_turning) | sub.turning,
         diverging=t.diverging | sub.diverging,
         error=t.error | sub.error,
+        nonrev=t.nonrev | sub.nonrev,
     )
 
 
@@ -292,10 +302,15 @@ def _init_tree_state(init_point, key, h0):
         turning=jnp.array(False),
         diverging=jnp.array(False),
         error=jnp.array(False),
+        nonrev=jnp.array(False),
     )
 
 
 def _tree_stats(t):
+    # ``error`` is the union of every integrator failure; report the
+    # reversibility-specific failures under their own key (Mici's
+    # ``non_reversible_step``) and the remainder (projection solver
+    # non-convergence / non-finite results) as ``convergence_error``.
     return {
         "accept_stat": jnp.where(
             t.n_step > 0, t.sum_acc / jnp.maximum(t.n_step, 1), 0.0
@@ -304,7 +319,8 @@ def _tree_stats(t):
         "n_solver_iters": t.n_solver_iters,
         "tree_depth": t.depth,
         "diverging": t.diverging,
-        "convergence_error": t.error,
+        "convergence_error": t.error & ~t.nonrev,
+        "non_reversible_step": t.nonrev,
         "hamiltonian": t.prop_h,
     }
 
@@ -323,7 +339,8 @@ def dynamic_multinomial_hmc(
     ``init_point`` must carry a freshly sampled momentum.  Returns
     ``(prop_pos, prop_mom, stats)`` where ``stats`` includes ``accept_stat``,
     ``n_step``, ``tree_depth``, ``diverging``, ``convergence_error``,
-    ``hamiltonian`` (all per-chain scalars suitable for tracing).
+    ``non_reversible_step``, ``hamiltonian`` (all per-chain scalars suitable
+    for tracing).
     """
     dtype = init_point.pos.dtype
     h0 = integrator.energy(init_point, metric)
@@ -510,13 +527,13 @@ def static_hmc(integrator, metric, init_point, key, step_size, num_steps):
     h0 = integrator.energy(init_point, metric)
 
     def body(carry, _):
-        point, ok_all, iters = carry
-        point, ok, it = integrator.step(point, step_size, metric)
-        return (point, ok_all & ok, iters + it), None
+        point, ok_all, nonrev_any, iters = carry
+        point, ok, nonrev, it = integrator.step(point, step_size, metric)
+        return (point, ok_all & ok, nonrev_any | nonrev, iters + it), None
 
-    (end, ok, iters), _ = lax.scan(
+    (end, ok, nonrev, iters), _ = lax.scan(
         body,
-        (init_point, jnp.array(True), jnp.array(0, jnp.int32)),
+        (init_point, jnp.array(True), jnp.array(False), jnp.array(0, jnp.int32)),
         None,
         length=num_steps,
     )
@@ -533,7 +550,8 @@ def static_hmc(integrator, metric, init_point, key, step_size, num_steps):
         "n_solver_iters": iters,
         "tree_depth": jnp.array(0, jnp.int32),
         "diverging": jnp.isinf(delta_h),
-        "convergence_error": ~ok,
+        "convergence_error": ~ok & ~nonrev,
+        "non_reversible_step": nonrev,
         "hamiltonian": h,
     }
     return pos, mom, stats

@@ -1,6 +1,7 @@
 """Symplectic integrators with explicit point caches and in-graph checks.
 
-Two integrators, both returning (new_point, ok_flag, solver_iterations):
+Two integrators, both returning
+(new_point, ok_flag, non_reversible_flag, solver_iterations):
 
 * ``make_leapfrog_integrator``: standard / Gaussian-splitting leapfrog for
   Euclidean systems (reference uses ``mici.integrators.LeapfrogIntegrator``,
@@ -18,7 +19,13 @@ Every numerical failure -- projection non-convergence, divergence, or a
 failed reversibility check -- lands in the returned ``ok`` flag instead of an
 exception, so the dynamic HMC tree builder can mask the step into a rejection
 under ``vmap`` (the reference's host-side ``NonReversibleStepError`` /
-``ConvergenceError`` semantics as data).
+``ConvergenceError`` semantics as data).  The separate ``non_reversible``
+flag singles out the reversibility-check failure mode (the reference's
+``NonReversibleStepError``, raised by
+``mici.integrators.ConstrainedLeapfrogIntegrator`` and surfaced as the
+``non_reversible_step`` chain statistic) from solver non-convergence: it is
+True only when every projection solve converged but the backwards-flow
+position missed the starting point by more than ``reverse_check_tol``.
 
 A "point" bundles the position/momentum with every derivative the sampler
 needs at that position, making the reference's ``cache_in_state`` memoisation
@@ -60,7 +67,7 @@ class Integrator(NamedTuple):
     """Pure-function bundle consumed by the HMC transitions."""
 
     init: Any  # (q, mom, metric) -> point
-    step: Any  # (point, dt, metric) -> (point, ok, n_solver_iters)
+    step: Any  # (point, dt, metric) -> (point, ok, non_reversible, n_solver_iters)
     energy: Any  # (point, metric) -> h(point)
     sample_momentum: Any  # (key, point, metric) -> mom
 
@@ -83,7 +90,13 @@ def make_leapfrog_integrator(system):
         nld, grad = system.val_and_grad_neg_log_dens(pos)
         mom = mom - 0.5 * dt * system.dh1_dpos(pos, grad)
         ok = jnp.isfinite(nld) & jnp.all(jnp.isfinite(mom))
-        return EuclideanPoint(pos, mom, nld, grad), ok, jnp.array(0, jnp.int32)
+        # Unconstrained leapfrog has no reversibility check to fail.
+        return (
+            EuclideanPoint(pos, mom, nld, grad),
+            ok,
+            jnp.array(False),
+            jnp.array(0, jnp.int32),
+        )
 
     def sample_momentum(key, point, metric):
         return system.sample_momentum(key, point.pos, metric)
@@ -167,7 +180,8 @@ def make_constrained_integrator(
         return project_mom(point._replace(mom=mom), metric)
 
     def step(point, dt, metric):
-        ok = jnp.array(True)
+        converged = jnp.array(True)
+        non_reversible = jnp.array(False)
         iters = jnp.array(0, jnp.int32)
         point = half_kick(point, 0.5 * dt, metric)
         dt_i = dt / n_inner_step
@@ -176,7 +190,7 @@ def make_constrained_integrator(
             prev = point
             pos_f, mom_f = system.h2_flow(prev.pos, prev.mom, dt_i, metric)
             res = solve_projection(pos_f, prev, dt_i, metric)
-            ok &= res.converged
+            converged &= res.converged
             iters += res.iters
             new_point = eval_point(res.pos, mom_f - mom_factor * res.mu, metric)
             if i == n_inner_step - 1:
@@ -188,11 +202,18 @@ def make_constrained_integrator(
             res_b = solve_projection(pos_b, new_point, -dt_i, metric)
             iters += res_b.iters
             rev_diff = jnp.max(jnp.abs(res_b.pos - prev.pos))
-            ok &= res_b.converged & (rev_diff < reverse_check_tol)
+            converged &= res_b.converged
+            non_reversible |= res_b.converged & ~(rev_diff < reverse_check_tol)
             point = new_point
         point = half_kick(point, 0.5 * dt, metric)
-        ok &= jnp.all(jnp.isfinite(point.mom)) & jnp.isfinite(point.logdet)
-        return point, ok, iters
+        finite = jnp.all(jnp.isfinite(point.mom)) & jnp.isfinite(point.logdet)
+        # Solver non-convergence takes precedence: a distance check against a
+        # non-converged projection result is meaningless (the reference's
+        # solver raises ConvergenceError before its reversibility comparison
+        # can run).
+        non_reversible &= converged
+        ok = converged & ~non_reversible & finite
+        return point, ok, non_reversible, iters
 
     def sample_momentum(key, point, metric):
         return system.sample_momentum(key, point.jac, point.chol, metric)

@@ -150,7 +150,7 @@ def run_trace():
         h0 = integ.energy(point, metric)
 
         def step(point, _):
-            new_point, ok, iters = integ.step(point, args.step_size, metric)
+            new_point, ok, _nonrev, iters = integ.step(point, args.step_size, metric)
             c = system.constr(new_point.pos, x_obs, 0)
             rec = {
                 "pos_head": new_point.pos[:8],

@@ -117,7 +117,7 @@ def measure_config(T, S, R, num_chains, reps, step_size):
                     pt.mom, pt.jac, pt.chol, metric
                 )
             )
-            new_pt, ok, iters = integ.step(pt, step_size, metric)
+            new_pt, ok, _nonrev, iters = integ.step(pt, step_size, metric)
             return new_pt.pos, ok, iters
         return jax.vmap(one)(qs, x_obs, moms)
 

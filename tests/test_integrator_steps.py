@@ -50,14 +50,14 @@ def test_leapfrog_energy_and_reversibility(rng, metric_type):
     dt = 0.05
     fwd = point
     for _ in range(20):
-        fwd, ok, _ = integ.step(fwd, dt, metric)
+        fwd, ok, _, _ = integ.step(fwd, dt, metric)
         assert bool(ok)
     # Energy error O(dt^2) over a fixed horizon.
     assert abs(float(integ.energy(fwd, metric) - h0)) < 5e-3
     # Exact reversibility: negate momentum, integrate back, recover start.
     back = fwd._replace(mom=-fwd.mom)
     for _ in range(20):
-        back, ok, _ = integ.step(back, dt, metric)
+        back, ok, _, _ = integ.step(back, dt, metric)
     np.testing.assert_allclose(back.pos, q, atol=1e-10)
     np.testing.assert_allclose(back.mom, -p, atol=1e-10)
 
@@ -74,7 +74,7 @@ def test_gaussian_leapfrog_exact_on_standard_normal(rng):
     point = integ.init(q, p, metric)
     h0 = integ.energy(point, metric)
     for _ in range(50):
-        point, ok, _ = integ.step(point, 0.3, metric)
+        point, ok, _, _ = integ.step(point, 0.3, metric)
     np.testing.assert_allclose(integ.energy(point, metric), h0, rtol=1e-10)
 
 
@@ -138,7 +138,7 @@ def test_constrained_step_preserves_manifold_and_reverses(rng, solver, gaussian)
     fwd = point
     n_steps = 5
     for _ in range(n_steps):
-        fwd, ok, iters = integ.step(fwd, dt, metric)
+        fwd, ok, _, iters = integ.step(fwd, dt, metric)
         assert bool(ok)
         assert int(iters) > 0
         # Stays on the manifold...
@@ -155,7 +155,7 @@ def test_constrained_step_preserves_manifold_and_reverses(rng, solver, gaussian)
     # back the same number of steps.
     back = fwd._replace(mom=-fwd.mom)
     for _ in range(n_steps):
-        back, ok, _ = integ.step(back, dt, metric)
+        back, ok, _, _ = integ.step(back, dt, metric)
         assert bool(ok)
     np.testing.assert_allclose(back.pos, q0, atol=1e-7)
     np.testing.assert_allclose(back.mom, -mom, atol=1e-7)
@@ -166,7 +166,9 @@ def test_constrained_step_flags_failures(rng):
     system, q0, x_obs_seq = make_chmc_setup(rng)
     metric = IdentityMetric()
     # Impossibly tight reversibility tolerance must flag the step as not ok
-    # (failure is data, not an exception).
+    # (failure is data, not an exception), and specifically as a
+    # *non-reversible* step (the reference's NonReversibleStepError), not a
+    # solver convergence error.
     integ = make_constrained_integrator(
         system, x_obs_seq, partition=0, reverse_check_tol=1e-300
     )
@@ -174,15 +176,25 @@ def test_constrained_step_flags_failures(rng):
     point = point._replace(
         mom=integ.sample_momentum(jax.random.PRNGKey(0), point, metric)
     )
-    _, ok, _ = integ.step(point, 0.1, metric)
+    _, ok, nonrev, _ = integ.step(point, 0.1, metric)
     assert not bool(ok)
+    assert bool(nonrev)
 
-    # A huge step must fail projection (non-convergence), again as data.
+    # A huge step must fail projection (non-convergence), again as data;
+    # solver non-convergence takes precedence over the (meaningless)
+    # reversibility distance, so ``non_reversible`` stays False.
     integ2 = make_constrained_integrator(
         system, x_obs_seq, partition=0, max_iters=5
     )
-    _, ok2, _ = integ2.step(point, 1e4, metric)
+    _, ok2, nonrev2, _ = integ2.step(point, 1e4, metric)
     assert not bool(ok2)
+    assert not bool(nonrev2)
+
+    # A healthy step raises neither flag.
+    integ3 = make_constrained_integrator(system, x_obs_seq, partition=0)
+    _, ok3, nonrev3, _ = integ3.step(point, 0.1, metric)
+    assert bool(ok3)
+    assert not bool(nonrev3)
 
 
 @pytest.mark.slow
@@ -194,6 +206,6 @@ def test_constrained_step_partition_1(rng):
     point = point._replace(
         mom=integ.sample_momentum(jax.random.PRNGKey(1), point, metric)
     )
-    new_point, ok, _ = integ.step(point, 0.1, metric)
+    new_point, ok, _, _ = integ.step(point, 0.1, metric)
     assert bool(ok)
     assert float(jnp.max(jnp.abs(system.constr(new_point.pos, x_obs_seq, 1)))) < 1e-7

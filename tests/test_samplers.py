@@ -663,6 +663,37 @@ def test_chmc_traces_and_counters(rng):
     assert st["n_step"].shape == (2, 20)
     assert np.asarray(st["hamiltonian"]).dtype.kind == "f"
     assert np.all(np.isfinite(np.asarray(st["hamiltonian"])))
+    # The two integrator failure modes are reported under separate keys
+    # (Mici's convergence_error / non_reversible_step statistic split) and
+    # are mutually exclusive by construction.
+    conv = np.asarray(st["convergence_error"])
+    nonrev = np.asarray(st["non_reversible_step"])
+    assert conv.shape == nonrev.shape == (2, 20)
+    assert conv.dtype == nonrev.dtype == np.bool_
+    assert not np.any(conv & nonrev)
+
+
+def test_concat_sweep_chunks_unions_keys_across_schema_change():
+    """A checkpoint written before a statistic existed must resume cleanly:
+    the old chunk's missing key is zero-filled at its own sweep length."""
+    from manifold_mcmc_tpu.samplers.chains import _concat_sweep_chunks
+
+    old = {"accept_stat": np.full((3, 4), 0.5, np.float32)}
+    new = {
+        "accept_stat": np.full((3, 2), 0.25, np.float32),
+        "non_reversible_step": np.ones((3, 2), np.bool_),
+    }
+    merged = _concat_sweep_chunks([old, new])
+    assert merged["accept_stat"].shape == (3, 6)
+    assert merged["non_reversible_step"].shape == (3, 6)
+    assert merged["non_reversible_step"].dtype == np.bool_
+    assert not merged["non_reversible_step"][:, :4].any()
+    assert merged["non_reversible_step"][:, 4:].all()
+    # Order-independence of the template: new-first also works.
+    merged2 = _concat_sweep_chunks([new, old])
+    assert merged2["non_reversible_step"].shape == (3, 6)
+    assert merged2["non_reversible_step"][:, :2].all()
+    assert not merged2["non_reversible_step"][:, 2:].any()
 
 
 def test_host_loop_deadline_partial_and_resume(rng, tmp_path):
@@ -762,7 +793,7 @@ def test_find_step_size_cliff_bidirectional():
 
     def step(point, eps, metric):
         ok = eps <= CLIFF
-        return point, jnp.asarray(ok), jnp.array(0, jnp.int32)
+        return point, jnp.asarray(ok), jnp.array(False), jnp.array(0, jnp.int32)
 
     integ = Integrator(
         init=None, step=step, energy=lambda p, m: 0.0, sample_momentum=None
