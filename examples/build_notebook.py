@@ -319,6 +319,7 @@ axes[2].hist(stats["n_solver_iters"].ravel() / np.maximum(stats["n_step"].ravel(
 axes[2].set(title="projection iters per step (n̄)", xlabel="iterations")
 fig.tight_layout()
 print("convergence errors:", int(stats["convergence_error"].sum()),
+      " non-reversible steps:", int(stats["non_reversible_step"].sum()),
       " divergences:", int(stats["diverging"].sum()),
       " of", stats["n_step"].size, "transitions")
 """)
