@@ -12,6 +12,13 @@ checkpoint (resume still works afterwards).
 
 Usage:
     python scripts/summarize_checkpoint.py OUTPUT_DIR [--min-draws N]
+        [--emit-traces]
+
+``--emit-traces`` additionally writes ``trace_<chain>_<var>.npy`` /
+``stats_<chain>_<stat>.npy`` files for the completed main-phase prefix, so
+the plot generators (which glob exactly those patterns, mirroring the
+reference's memmap contract at ``/root/reference/scripts/utils.py:507,556``)
+work on an unfinished run.
 """
 
 import argparse
@@ -23,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-from manifold_mcmc_tpu.utils import stats
+from manifold_mcmc_tpu.utils import output, stats
 
 
 def _load_completed_traces(ck):
@@ -67,7 +74,7 @@ def _load_completed_traces(ck):
     return warm_done, main_done, load("trc__"), load("stc__")
 
 
-def summarize_checkpoint(output_dir, min_draws=8):
+def summarize_checkpoint(output_dir, min_draws=8, emit_traces=False):
     ck_path = os.path.join(output_dir, "checkpoint.npz")
     ck = np.load(ck_path, allow_pickle=True)
     warm_done, main_done, traces, sampler_stats = _load_completed_traces(ck)
@@ -105,6 +112,9 @@ def summarize_checkpoint(output_dir, min_draws=8):
     dest = os.path.join(output_dir, "partial_summary.json")
     with open(dest, "w") as f:
         json.dump(out, f, ensure_ascii=False, indent=2)
+    if emit_traces:
+        output.write_traces(output_dir, traces)
+        output.write_stats(output_dir, sampler_stats)
     return dest, out
 
 
@@ -112,8 +122,15 @@ def main():
     parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     parser.add_argument("output_dir")
     parser.add_argument("--min-draws", type=int, default=8)
+    parser.add_argument(
+        "--emit-traces",
+        action="store_true",
+        help="also write trace_*/stats_*.npy for the completed prefix",
+    )
     args = parser.parse_args()
-    dest, out = summarize_checkpoint(args.output_dir, args.min_draws)
+    dest, out = summarize_checkpoint(
+        args.output_dir, args.min_draws, emit_traces=args.emit_traces
+    )
     print(f"wrote {dest}")
     print(
         f"completed: {out['warm_up_iters_completed']} warm-up + "

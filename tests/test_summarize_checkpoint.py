@@ -88,6 +88,21 @@ def test_summarize_chmc_sweep_schema(tmp_path):
     assert np.isfinite(list(out["r_hat"].values())).all()
 
 
+def test_emit_traces_writes_plot_contract_files(tmp_path):
+    """--emit-traces writes the reference plot pipeline's on-disk contract
+    (``trace_<chain>_<var>.npy`` / ``stats_<chain>_<stat>.npy``, reference
+    glob patterns at ``scripts/utils.py:507,556``) holding exactly the
+    completed main-phase prefix."""
+    _write_checkpoint(str(tmp_path / "checkpoint.npz"))
+    summarize_checkpoint(str(tmp_path), emit_traces=True)
+    for c in range(4):
+        trace = np.load(tmp_path / f"trace_{c}_sigma.npy")
+        assert trace.shape == (20,)
+        assert np.isfinite(trace).all(), "garbage past prefix leaked"
+        stat = np.load(tmp_path / f"stats_{c}_accept_stat.npy")
+        assert stat.shape == (20,) and stat == pytest.approx(0.8)
+
+
 def test_refuses_too_few_draws(tmp_path):
     _write_checkpoint(str(tmp_path / "checkpoint.npz"), main_done=3)
     with pytest.raises(SystemExit):
