@@ -39,6 +39,7 @@ __all__ = [
     "chol_gram_blocks",
     "lu_jacob_product_blocks",
     "log_det_sqrt_gram_from_chol",
+    "logdet_gram_jac_cotangent",
     "lmult_by_jacob_constr",
     "rmult_by_jacob_constr",
     "lmult_by_inv_gram",
@@ -222,6 +223,68 @@ def log_det_sqrt_gram_from_chol(chol_C, chol_D, log_det_sqrt_metric_0=0.0):
             jnp.abs(cD.diagonal(0, -2, -1))
         ).sum((-1, -2) if cD.ndim == 3 else -1)
     return half_log_det - log_det_sqrt_metric_0
+
+
+def logdet_gram_jac_cotangent(jac, chol, num_state_rows_per_block):
+    """Cotangent of ``(1/2) log det G`` with respect to the Jacobian blocks.
+
+    With ``G = dc M^-1 dc^T``, ``d (1/2) log det G = <Sigma, d(dc)>`` where
+    ``Sigma = G^-1 dc M^-1``.  Restricted to the blocked layout and expanded
+    through the Woodbury identity ``G^-1 = D^-1 - W C^-1 W^T`` with
+    ``W[b] = D_b^-1 J_u[b]`` and ``C = M_0 + J_u^T D^-1 J_u``:
+
+    * ``Sigma_du[b] = (G^-1 U)[b] M_0^-1 = W[b] C^-1`` -- the explicit
+      ``M_0^-1`` cancels because ``C^-1 (C - M_0) = I - C^-1 M_0``;
+    * ``Sigma_dv[b] = (G^-1)[b,b] J_v[b]`` (``J_v`` is block diagonal);
+    * ``Sigma_dn[b] = diag((G^-1)[b,b])[:obs_rows] * dn[b]`` (``J_n`` is
+      diagonal over the leading observation rows).
+
+    Everything is a batched triangular solve or small einsum against the
+    *cached* Cholesky factors -- no differentiation through the
+    factorisation.  Feeding the result to the VJP of the blocked-Jacobian
+    computation yields the same gradient as reverse-mode AD through
+    ``chol_gram_blocks`` + ``log_det_sqrt_gram_from_chol`` (the reference
+    differentiates straight through the blocked Cholesky,
+    ``/root/reference/sde/mici_extensions.py:1143-1146``) while skipping the
+    Cholesky/solve backward passes.
+
+    Args:
+        jac: ``(du, dv, dn)`` block triples as returned by
+            ``jacob_constr_blocks``.
+        chol: ``(chol_C, chol_D_blocks)`` from :func:`chol_gram_blocks` at
+            the same point and metric.
+        num_state_rows_per_block: static per-block trailing state-row counts
+            (as in :func:`compute_D_blocks`).
+
+    Returns:
+        ``(S_du, S_dv, S_dn)`` with the exact structure of ``jac``.
+    """
+    du, dv, dn = jac
+    chol_C, chol_D = chol
+    dim_u = chol_C.shape[-1]
+    C_inv = _cho_solve(chol_C, jnp.eye(dim_u, dtype=chol_C.dtype))
+    S_du, S_dv, S_dn = [], [], []
+    for b, (dub, dvb, cD) in enumerate(zip(du, dv, chol_D)):
+        W = _cho_solve(cD, dub)
+        S_du.append(jnp.einsum("...rj,jk->...rk", W, C_inv))
+        # Materialise the tiny (rows x rows) diagonal block of G^-1 once --
+        # one identity solve in D_b -- then the wide noise axis is a plain
+        # matmul (MXU) instead of a triangular solve per noise column.
+        rows = cD.shape[-1]
+        eye_r = jnp.broadcast_to(jnp.eye(rows, dtype=cD.dtype), cD.shape)
+        G_inv_bb = _cho_solve(cD, eye_r) - jnp.einsum(
+            "...rj,jk,...sk->...rs", W, C_inv, W
+        )
+        S_dv.append(jnp.einsum("...rs,...sm->...rm", G_inv_bb, dvb))
+        if dn is not None and dn[b] is not None:
+            obs_rows = dn[b].shape[-1]
+            diag_G_inv = G_inv_bb.diagonal(0, -2, -1)[..., :obs_rows]
+            S_dn.append(diag_G_inv * dn[b])
+        elif dn is not None:
+            S_dn.append(None)
+    if dn is None:
+        return tuple(S_du), tuple(S_dv), None
+    return tuple(S_du), tuple(S_dv), tuple(S_dn)
 
 
 def _split_c_space(vct, du_blocks):

@@ -67,6 +67,7 @@ class ConditionedDiffusionConstrainedSystem:
         use_gaussian_splitting=False,
         dim_v_0=None,
         impl="auto",
+        logdet_grad=None,
     ):
         y_seq = jnp.asarray(y_seq)
         if y_seq.ndim == 1:
@@ -143,10 +144,23 @@ class ConditionedDiffusionConstrainedSystem:
         self.constr = fns["constr"]
         self.jacob_constr_blocks = fns["jacob_constr_blocks"]
 
-        self._grad_log_det_sqrt_gram = jax.jit(
-            jax.value_and_grad(self._log_det_sqrt_gram_impl, has_aux=True),
-            static_argnames=("partition",),
-        )
+        if logdet_grad is None:
+            import os
+
+            logdet_grad = os.environ.get("MMT_LOGDET_GRAD", "ad")
+        if logdet_grad == "manual":
+            self._grad_log_det_sqrt_gram = jax.jit(
+                self._grad_log_det_sqrt_gram_manual,
+                static_argnames=("partition",),
+            )
+        elif logdet_grad == "ad":
+            self._grad_log_det_sqrt_gram = jax.jit(
+                jax.value_and_grad(self._log_det_sqrt_gram_impl, has_aux=True),
+                static_argnames=("partition",),
+            )
+        else:
+            raise ValueError(f"unknown logdet_grad mode {logdet_grad!r}")
+        self.logdet_grad = logdet_grad
         self._log_det_sqrt_gram = jax.jit(
             self._log_det_sqrt_gram_impl, static_argnames=("partition",)
         )
@@ -242,14 +256,39 @@ class ConditionedDiffusionConstrainedSystem:
     def grad_log_det_sqrt_gram(
         self, q, x_obs_seq, metric=IdentityMetric(), partition=0
     ):
-        """Value+gradient of the half log-det Gram (AD through blocked Cholesky).
+        """Value+gradient of the half log-det Gram.
 
         Returns ``((value, (jac, chol)), grad)`` -- the aux factors are reused
         for cotangent projections and the quasi-Newton solver, replacing the
         reference's ``cache_in_state_with_aux`` memoisation
         (``mici_extensions.py:1173-1184``) with explicit data flow.
+
+        Two gradient modes (``logdet_grad`` constructor arg, env default
+        ``MMT_LOGDET_GRAD``): ``"ad"`` (default) is reverse-mode AD through
+        the blocked Cholesky, exactly the reference's formulation
+        (``mici_extensions.py:1143-1146``); ``"manual"`` evaluates the
+        analytic cotangent ``G^-1 dc M^-1`` from the cached Woodbury factors
+        (:func:`manifold_mcmc_tpu.ops.gram.logdet_gram_jac_cotangent`) and
+        backpropagates it through the Jacobian computation only -- the same
+        gradient (tested to f64 equality) without differentiating the
+        factorisation itself.
         """
         return self._grad_log_det_sqrt_gram(q, x_obs_seq, metric, partition)
+
+    def _grad_log_det_sqrt_gram_manual(
+        self, q, x_obs_seq, metric=IdentityMetric(), partition=0
+    ):
+        jac, jac_vjp = jax.vjp(
+            lambda q_: self.jacob_constr_blocks(q_, x_obs_seq, partition), q
+        )
+        chol = self.chol_gram_blocks(jac, metric, partition)
+        val = gram_ops.log_det_sqrt_gram_from_chol(*chol, metric.log_det_sqrt())
+        scheme = self.schemes[partition]
+        cotangent = gram_ops.logdet_gram_jac_cotangent(
+            jac, chol, scheme.num_state_rows_per_block(self.layout)
+        )
+        (grad,) = jac_vjp(cotangent)
+        return (val, (jac, chol)), grad
 
     # ------------------------------------------------------------------ #
     # tangent/normal space projections and momentum sampling              #

@@ -230,6 +230,70 @@ def test_lu_jacob_product_matches_dense(rng, noisy):
     )
 
 
+@pytest.mark.parametrize(
+    "noisy, partition, metric_type, impl",
+    [
+        # pairwise coverage of every axis; two heaviest combos marked slow
+        (False, 0, "identity", "scan"),
+        (True, 1, "block", "rollout"),
+        pytest.param(True, 0, "block", "scan", marks=pytest.mark.slow),
+        pytest.param(False, 1, "identity", "rollout", marks=pytest.mark.slow),
+    ],
+)
+def test_manual_logdet_grad_matches_ad(rng, noisy, partition, metric_type, impl):
+    """The analytic-cotangent gradient mode (``logdet_grad="manual"``,
+    ``ops.gram.logdet_gram_jac_cotangent``) must reproduce reverse-mode AD
+    through the blocked Cholesky exactly (both are the same mathematical
+    gradient; f64 CPU agreement to tight tolerance)."""
+    system_ad = ConditionedDiffusionConstrainedSystem(
+        **{**_system_kwargs(noisy), "impl": impl, "logdet_grad": "ad"}
+    )
+    system_manual = ConditionedDiffusionConstrainedSystem(
+        **{**_system_kwargs(noisy), "impl": impl, "logdet_grad": "manual"}
+    )
+    q, x_obs_seq = random_point(system_ad, rng)
+    if metric_type == "identity":
+        metric = IdentityMetric()
+    else:
+        layout = system_ad.layout
+        A = rng.standard_normal((layout.dim_u, layout.dim_u))
+        metric = BlockDiagonalMetric(
+            jnp.asarray(A @ A.T + layout.dim_u * np.eye(layout.dim_u))
+        )
+    (val_ad, (jac_ad, chol_ad)), grad_ad = system_ad.grad_log_det_sqrt_gram(
+        q, x_obs_seq, metric, partition
+    )
+    (val_m, (jac_m, chol_m)), grad_m = system_manual.grad_log_det_sqrt_gram(
+        q, x_obs_seq, metric, partition
+    )
+    np.testing.assert_allclose(val_m, val_ad, rtol=1e-12)
+    np.testing.assert_allclose(grad_m, grad_ad, rtol=1e-7, atol=1e-10)
+    # aux factors (reused by the projection solvers) must match too
+    for a, b in zip(jax.tree.leaves((jac_ad, chol_ad)),
+                    jax.tree.leaves((jac_m, chol_m))):
+        np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def _system_kwargs(noisy, num_obs_per_subseq=2, num_obs=6, S=3):
+    rng = np.random.default_rng(42)
+    y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.5)
+    return dict(
+        obs_interval=0.2,
+        num_steps_per_obs=S,
+        num_obs_per_subseq=num_obs_per_subseq,
+        y_seq=y_seq,
+        dim_u=fhn.dim_z + (1 if noisy else 0),
+        dim_x=fhn.dim_x,
+        dim_v=fhn.dim_v,
+        forward_func=fhn.forward_func,
+        generate_x_0=fhn.generate_x_0,
+        generate_z=fhn.generate_z,
+        obs_func=fhn.obs_func,
+        generate_sigma=fhn.generate_sigma_y if noisy else None,
+        dim_v_0=fhn.dim_v_0,
+    )
+
+
 @pytest.mark.slow
 def test_grad_log_det_sqrt_gram_matches_dense_ad(rng):
     system = make_system()
