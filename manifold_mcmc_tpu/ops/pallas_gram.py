@@ -13,11 +13,22 @@ The pure-XLA path materialises each intermediate (``D``, ``chol_D``,
 dim_u ~ 4) pad to the TPU's (8, 128) tile on every round trip.
 
 This module fuses the whole per-block pipeline into ONE Pallas kernel that
-keeps everything in VMEM/registers: per block, the Gram rows are formed as
-lane-wide reductions over the noise axis (the only large dimension, ``m =
-R * S * dim_v`` ~ 250) and the Cholesky / triangular solves are unrolled over
-the static tiny indices as a scalar DAG -- the same algorithm as
-``ops.smallchol`` but with zero intermediate HBM traffic.
+keeps everything in VMEM/registers: per block, the Gram and the final
+``J_u^T D^{-1} J_u`` contraction are single MXU ``dot_general``s over the
+noise axis (the only large dimension, ``m = R * S * dim_v`` ~ 250) and the
+Cholesky / triangular solves are unrolled over the static tiny indices as a
+scalar DAG -- the same algorithm as ``ops.smallchol`` but with zero
+intermediate HBM traffic.
+
+MEASURED OUTCOME (TPU v5e, 1024 chains, canonical FHN shapes -- committed at
+``benchmarks/results/ab_gram_and_logdet_backends_2026-08-19.json``): the
+pure-XLA default is ~13x FASTER (1.17 ms vs 15.4 ms).  XLA batches the tiny
+per-block Cholesky across chains x blocks in the vector sublanes, while this
+kernel runs one chain's blocks as a serial scalar DAG per grid instance; the
+HBM round trips the fusion removes are already negligible at these tile
+sizes.  The kernel therefore stays opt-in -- kept because it is the working
+template for block-geometry regimes XLA handles badly (rows >> MAX_UNROLL_DIM
+or very large ``m``, where the slab streaming wins).
 
 Batching: the kernel is written per chain (matching the package's
 single-chain function + outer ``vmap`` architecture); ``jax.vmap`` over the
@@ -80,54 +91,82 @@ def middle_reference(dv, du, dn, num_state_rows):
 def _kernel(count, rows, dim_u, obs_rows, num_state_rows, noisy, dtype):
     """Build the Pallas kernel body for static block geometry.
 
-    All loops below are Python loops over *static* tiny indices -- the kernel
-    is a straight-line scalar/vector DAG; the only large axis (the noise
-    contraction ``m``) lives in the lane dimension of the row slabs.
+    Mosaic constraints shape the whole kernel (TPU lowering rejects rank-0
+    VMEM loads/stores): every memory access is a >=2D tile, the per-block
+    Gram and the ``J_u^T D^{-1} J_u`` accumulation are single
+    ``dot_general``s (MXU), and the unrolled Cholesky / substitutions run on
+    scalar *values* extracted from register tiles with masked reductions and
+    written back as masked-assembled 2D tiles.  Loops are Python loops over
+    static tiny indices -- the kernel is a straight-line DAG.
     """
+    import jax.lax as lax
 
     def kernel(*refs):
         if noisy:
-            dv_ref, du_ref, dn_ref, chol_ref, dinvdu_ref, sumc_ref, hld_ref = refs
+            dv_ref, du_ref, dn2_ref, chol_ref, dinvdu_ref, sumc_ref, hld_ref = refs
         else:
             dv_ref, du_ref, chol_ref, dinvdu_ref, sumc_ref, hld_ref = refs
 
-        sum_c = [[jnp.zeros((), dtype) for _ in range(dim_u)] for _ in range(dim_u)]
+        # Iota masks for scalar extraction / tile assembly (2D, per guide).
+        row_rr = lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+        col_rr = lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+        row_ru = lax.broadcasted_iota(jnp.int32, (rows, dim_u), 0)
+        col_ru = lax.broadcasted_iota(jnp.int32, (rows, dim_u), 1)
+
+        def ext(A, masks, i, k):
+            row_m, col_m = masks
+            return jnp.sum(jnp.where((row_m == i) & (col_m == k), A, 0))
+
+        sum_c = jnp.zeros((dim_u, dim_u), dtype)
         half_log_det = jnp.zeros((), dtype)
 
         for b in range(count):
-            # Row slabs (1, m): the only reads of the large axis.
-            slabs = [dv_ref[b, i : i + 1, :] for i in range(rows)]
-            # Gram rows via lane reductions; symmetric, build lower triangle.
-            d = [[None] * rows for _ in range(rows)]
-            for i in range(rows):
-                for k in range(i + 1):
-                    d[i][k] = jnp.sum(slabs[i] * slabs[k])
+            dvb = dv_ref[b, :, :]  # (rows, m)
+            dub = du_ref[b, :, :]  # (rows, dim_u)
+            # Gram block on the MXU: D = dv dv^T, contraction over the only
+            # large axis m.
+            D = lax.dot_general(
+                dvb, dvb, (((1,), (1,)), ((), ())),
+                preferred_element_type=dtype,
+            )
             if noisy:
-                for i in range(min(obs_rows, rows - num_state_rows)):
-                    sig = dn_ref[b, i]
-                    d[i][i] = d[i][i] + sig * sig
+                # dn2 arrives pre-squared and zero-padded to `rows` by the
+                # wrapper; add it to the diagonal.
+                dn2b = dn2_ref[b, :, :]  # (1, rows), broadcasts over rows
+                D = D + jnp.where(row_rr == col_rr, dn2b, jnp.zeros((), dtype))
             # Unrolled scalar Cholesky (same recurrences as ops.smallchol).
+            d_s = [
+                [ext(D, (row_rr, col_rr), i, k) for k in range(i + 1)]
+                for i in range(rows)
+            ]
+            du_s = [
+                [ext(dub, (row_ru, col_ru), i, c) for c in range(dim_u)]
+                for i in range(rows)
+            ]
             L = [[None] * rows for _ in range(rows)]
             for j in range(rows):
-                s = d[j][j]
+                s = d_s[j][j]
                 for k in range(j):
                     s = s - L[j][k] * L[j][k]
                 L[j][j] = jnp.sqrt(s)
                 inv_jj = 1.0 / L[j][j]
                 for i in range(j + 1, rows):
-                    t = d[i][j]
+                    t = d_s[i][j]
                     for k in range(j):
                         t = t - L[i][k] * L[j][k]
                     L[i][j] = t * inv_jj
                 half_log_det = half_log_det + jnp.log(jnp.abs(L[j][j]))
+            Lmat = jnp.zeros((rows, rows), dtype)
             for i in range(rows):
-                for k in range(rows):
-                    chol_ref[b, i, k] = L[i][k] if k <= i else jnp.zeros((), dtype)
+                for k in range(i + 1):
+                    Lmat = jnp.where((row_rr == i) & (col_rr == k), L[i][k], Lmat)
+            chol_ref[b, :, :] = Lmat
             # D^{-1} du column-by-column: forward then back substitution.
+            X = jnp.zeros((rows, dim_u), dtype)
             for c in range(dim_u):
                 y = [None] * rows
                 for i in range(rows):
-                    t = du_ref[b, i, c]
+                    t = du_s[i][c]
                     for k in range(i):
                         t = t - L[i][k] * y[k]
                     y[i] = t / L[i][i]
@@ -138,17 +177,16 @@ def _kernel(count, rows, dim_u, obs_rows, num_state_rows, noisy, dtype):
                         t = t - L[k][i] * x[k]
                     x[i] = t / L[i][i]
                 for i in range(rows):
-                    dinvdu_ref[b, i, c] = x[i]
-                for c2 in range(dim_u):
-                    acc = sum_c[c2][c]
-                    for i in range(rows):
-                        acc = acc + du_ref[b, i, c2] * x[i]
-                    sum_c[c2][c] = acc
+                    X = jnp.where((row_ru == i) & (col_ru == c), x[i], X)
+            dinvdu_ref[b, :, :] = X
+            # du^T X accumulated over blocks, contraction over rows (MXU).
+            sum_c = sum_c + lax.dot_general(
+                dub, X, (((0,), (0,)), ((), ())),
+                preferred_element_type=dtype,
+            )
 
-        for i in range(dim_u):
-            for j in range(dim_u):
-                sumc_ref[i, j] = sum_c[i][j]
-        hld_ref[0, 0] = half_log_det
+        sumc_ref[:, :] = sum_c
+        hld_ref[:, :] = half_log_det * jnp.ones((1, 1), dtype)
 
     return kernel
 
@@ -169,7 +207,20 @@ def _make_fused(count, rows, m, dim_u, obs_rows, num_state_rows, noisy, dtype_na
     )
 
     def call(dv, du, dn):
-        args = (dv, du) if dn is None else (dv, du, dn)
+        if dn is None:
+            args = (dv, du)
+        else:
+            # Pre-square and zero-pad the obs-noise diagonal to `rows` here
+            # (outside the kernel) so the kernel's diag-add is one uniform
+            # masked broadcast.
+            dn2 = dn * dn
+            if rows - dn2.shape[-1] > 0:
+                dn2 = jnp.concatenate(
+                    [dn2, jnp.zeros(dn2.shape[:-1] + (rows - dn2.shape[-1],),
+                                    dn2.dtype)],
+                    axis=-1,
+                )
+            args = (dv, du, dn2[:, None, :])
         chol_D, D_inv_du, sum_duT, hld = pl.pallas_call(
             kernel, out_shape=out_shape, interpret=interpret
         )(*args)
