@@ -22,10 +22,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHAINS_PER_DEVICE = 2
+STRONG_TOTAL_CHAINS = 16
 SWEEPS = 4
 
 
-def run_child(n_devices):
+def run_child(n_devices, chains_per_device):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)
     env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
@@ -39,6 +40,7 @@ def run_child(n_devices):
         flags + [f"--xla_force_host_platform_device_count={n_devices}"]
     )
     env["MMT_MESH_SCALING_CHILD"] = str(n_devices)
+    env["MMT_MESH_SCALING_CPD"] = str(chains_per_device)
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         env=env,
@@ -65,36 +67,58 @@ def child_main(n_devices):
     res = g._dryrun_multichip_impl(
         n_devices,
         num_sweeps=SWEEPS,
-        chains_per_device=CHAINS_PER_DEVICE,
+        chains_per_device=int(
+            os.environ.get("MMT_MESH_SCALING_CPD", CHAINS_PER_DEVICE)
+        ),
     )
     print(json.dumps(res))
 
 
+def measure(n_devices, chains_per_device):
+    r = run_child(n_devices, chains_per_device)
+    # First sweep absorbs dispatch warm-up; report the rest.
+    times = r["sweep_times_s"][1:]
+    return {
+        "num_chains": r["num_chains"],
+        "compile_s": round(r["compile_s"], 1),
+        "per_sweep_s": round(sum(times) / len(times), 3),
+    }
+
+
 def main():
-    results = {}
+    weak = {}
     for n in (1, 8):
-        r = run_child(n)
-        # First sweep absorbs dispatch warm-up; report the rest.
-        times = r["sweep_times_s"][1:]
-        results[str(n)] = {
-            "num_chains": r["num_chains"],
-            "compile_s": round(r["compile_s"], 1),
-            "per_sweep_s": round(sum(times) / len(times), 3),
-        }
-        print(f"devices={n}: {results[str(n)]}", file=sys.stderr)
-    ratio = results["8"]["per_sweep_s"] / results["1"]["per_sweep_s"]
+        weak[str(n)] = measure(n, CHAINS_PER_DEVICE)
+        print(f"weak devices={n}: {weak[str(n)]}", file=sys.stderr)
+    weak_ratio = weak["8"]["per_sweep_s"] / weak["1"]["per_sweep_s"]
+    strong = {}
+    for n in (1, 2, 4, 8):
+        strong[str(n)] = measure(n, STRONG_TOTAL_CHAINS // n)
+        print(f"strong devices={n}: {strong[str(n)]}", file=sys.stderr)
+    strong_ratios = {
+        n: round(strong[n]["per_sweep_s"] / strong["1"]["per_sweep_s"], 2)
+        for n in strong
+    }
     out = {
         "description": (
-            "weak scaling of the sharded CHMC warm-up sweep on VIRTUAL CPU "
-            "devices (one physical core): 8 devices do 8x the total work "
-            "serially, so ratio ~8 is ideal; excess is GSPMD/collective "
-            "overhead. chains_per_device fixed."
+            "scaling of the sharded CHMC warm-up sweep on VIRTUAL CPU "
+            "devices (one physical core). WEAK: chains_per_device fixed, 8 "
+            "devices do 8x the total work serially, so ratio ~8 is ideal; "
+            "excess is GSPMD/collective overhead. STRONG: total chains "
+            "fixed at 16, so the total work is constant and the ideal "
+            "serialised ratio is ~1.0 at every device count; excess is the "
+            "pure partitioning + collective overhead that on real hardware "
+            "would be hidden by concurrent execution over ICI."
         ),
-        "chains_per_device": CHAINS_PER_DEVICE,
+        "chains_per_device_weak": CHAINS_PER_DEVICE,
+        "strong_total_chains": STRONG_TOTAL_CHAINS,
         "config": {"T": 100, "S": 25, "R": 5, "max_tree_depth": 2},
-        "results": results,
-        "wall_ratio_8_vs_1": round(ratio, 2),
-        "ideal_ratio_serial": 8.0,
+        "weak": weak,
+        "wall_ratio_8_vs_1_weak": round(weak_ratio, 2),
+        "ideal_ratio_serial_weak": 8.0,
+        "strong": strong,
+        "strong_wall_ratios_vs_1": strong_ratios,
+        "ideal_ratio_serial_strong": 1.0,
     }
     path = os.path.join(
         REPO, "benchmarks", "results", "mesh_scaling_virtual.json"
