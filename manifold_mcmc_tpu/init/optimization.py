@@ -354,6 +354,24 @@ def find_initial_state_by_gradient_descent_noisy_system(
     raise RuntimeError(f"Did not find valid state in {max_num_tries} tries.")
 
 
+def _restart_mask(done, msr_now, msr_prev, iters_since, max_iters, slow_ratio):
+    """Which chains to redraw at a block boundary (host-side, NumPy).
+
+    Mirrors the reference's per-try restart rules
+    (``sde/mici_extensions.py:1750-1795``): an unconverged chain restarts
+    (a) on slow progress — block-over-block mean-squared-residual ratio
+    above ``slow_ratio`` (or non-finite) — while still in the first half of
+    its try (``iters_since < max_iters // 2``), or (b) unconditionally once
+    ``iters_since >= max_iters`` (the reference's outer try boundary).
+    """
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = msr_now / msr_prev
+    slow = ~np.isfinite(ratio) | (ratio > slow_ratio)
+    return ~done & (
+        (slow & (iters_since < max_iters // 2)) | (iters_since >= max_iters)
+    )
+
+
 def find_initial_states_by_gradient_descent_noisy_system(
     system,
     key,
@@ -374,10 +392,12 @@ def find_initial_states_by_gradient_descent_noisy_system(
     drops below ``threshold`` (the residuals are then absorbed into the
     observation-noise coordinates, putting it exactly on the manifold).
     Per-chain restart semantics match the reference: a diverging chain
-    redraws its start in-graph on the next step, and at block boundaries the
-    host redraws chains whose progress ratio exceeds ``slow_progress_ratio``;
-    both resets zero that chain's Adam state.  Total Adam iterations are
-    bounded by ``max_num_tries * max_iters``.
+    redraws its start in-graph on the next step; at block boundaries the
+    host redraws chains whose progress ratio exceeds ``slow_progress_ratio``
+    within the first half of their current try, and unconditionally once a
+    chain's try budget of ``max_iters`` iterations is spent (the reference's
+    outer try loop).  Every restart zeroes that chain's Adam state.  Total
+    Adam iterations are bounded by ``max_num_tries * max_iters``.
 
     Returns ``(q, x_obs_seq)`` with leading chain axes.
     """
@@ -467,13 +487,26 @@ def find_initial_states_by_gradient_descent_noisy_system(
         u_v, m, v, t, keys, done, q_out, msr_now = carry
         if bool(jnp.all(done)):
             break
-        # Slow-progress restart (reference ``:1787-1795``): redraw chains
-        # whose mean-squared-residual ratio over the last block exceeds the
-        # threshold, zeroing their Adam state.
+        # Restart semantics mirroring the reference's per-try loop
+        # (``:1750-1795``): a chain is redrawn fresh either (a) on slow
+        # progress — residual ratio over the last block above the threshold
+        # — but only within the FIRST HALF of its current try (``i <
+        # max_iters // 2``), or (b) unconditionally once its try budget of
+        # ``max_iters`` Adam iterations is spent (the reference's outer
+        # ``for t in range(max_num_tries)`` boundary).  Without (b) a chain
+        # that keeps making nominal progress from a hopeless basin grinds
+        # the whole global budget and the fleet init fails (observed: 2/256
+        # chains stuck for 22+ blocks on SIR noisy-obs).  The per-chain Adam
+        # step count ``t`` is exactly iterations-since-last-restart (zeroed
+        # on every restart path), so it doubles as the try clock.
         if block > 0:
-            ratio = msr_now / msr_prev_host
-            stalled = np.asarray(~done) & np.asarray(
-                ~jnp.isfinite(ratio) | (ratio > slow_progress_ratio)
+            stalled = _restart_mask(
+                np.asarray(done),
+                np.asarray(msr_now),
+                np.asarray(msr_prev_host),
+                np.asarray(t[:, 0]),
+                max_iters,
+                slow_progress_ratio,
             )
             if stalled.any():
                 stalled_dev = jnp.asarray(stalled)[:, None]

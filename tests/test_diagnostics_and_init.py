@@ -251,6 +251,38 @@ def test_batched_gradient_descent_noisy_init(rng):
     assert float(jnp.std(qs[:, 0])) > 0
 
 
+def test_noisy_init_restart_mask():
+    """Block-boundary restart rules mirror the reference's per-try loop.
+
+    Reference ``sde/mici_extensions.py:1750-1795``: slow-progress restarts
+    apply only within the first half of a try; a chain whose try budget of
+    ``max_iters`` iterations is spent restarts unconditionally (without this
+    a chain grinding in a hopeless basin is never redrawn — observed as a
+    2/256-chain fleet-init stall on SIR noisy-obs).
+    """
+    import numpy as np
+
+    from manifold_mcmc_tpu.init.optimization import _restart_mask
+
+    done = np.array([False, False, False, False, False, True])
+    #          slow+young  slow+old  fine+young  fine+old  fresh   done
+    msr_now = np.array([9.0, 9.0, 1.0, 5.0, 100.0, 9.0])
+    msr_prev = np.array([10.0, 10.0, 10.0, 10.0, np.inf, 10.0])
+    iters = np.array([100, 600, 100, 1000, 100, 2000])
+    mask = _restart_mask(done, msr_now, msr_prev, iters, 1000, 0.8)
+    # slow chain in first half of try: restart; slow chain in second half:
+    # let it grind; steady chain: keep; steady chain at try boundary:
+    # forced restart; freshly-restarted chain (msr_prev=inf => ratio 0):
+    # exempt; converged chain: never.
+    assert mask.tolist() == [True, False, False, True, False, False]
+    # Non-finite ratio (inf/inf) counts as slow while young.
+    mask2 = _restart_mask(
+        np.array([False]), np.array([np.inf]), np.array([np.inf]),
+        np.array([100]), 1000, 0.8,
+    )
+    assert mask2.tolist() == [True]
+
+
 @pytest.mark.slow
 def test_checkpoint_resume_roundtrip(rng, tmp_path):
     from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains
