@@ -15,8 +15,12 @@
 #   OUTPUT_DIR  experiment output dir (must match the CMD's --output-dir)
 #   DEADLINE_S  overall wall-clock budget for this invocation
 #   STALL_S     max gap between checkpoint saves once saving started (420)
-#   GRACE_S     startup budget before the first save: resume + remote
-#               compiles/executable loads (1800)
+#   GRACE_S     max SILENCE before the first save: remote compiles /
+#               executable loads produce no output for this long (1800).
+#               Writes to OUTPUT_DIR/info.log (e.g. init progress blocks)
+#               reset the silence clock, so a long chain-init that logs
+#               every block is never killed mid-flight — only a genuinely
+#               quiet attempt is.
 #   CMD...      the experiment command to (re)launch each attempt
 #
 # Example:
@@ -55,9 +59,20 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
         echo "[watchdog] save gap ${age}s > ${STALL}s; killing wedged attempt"
         kill "$pid"; sleep 5; kill -9 "$pid" 2>/dev/null; break
       fi
-    elif [ $(( now - start )) -gt "$GRACE" ]; then
-      echo "[watchdog] no save within ${GRACE}s of start; killing attempt"
-      kill "$pid"; sleep 5; kill -9 "$pid" 2>/dev/null; break
+    else
+      # Pre-first-save phase: treat info.log appends (init block progress,
+      # pre-flight prints) as liveness — kill only after GRACE seconds of
+      # total silence.  (2026-08-19: a healthy 256-chain SIR init outlived
+      # the old from-start grace and was killed at 255/256 converged.)
+      live=$start
+      if [ -f "$OUT/info.log" ]; then
+        il=$(stat -c %Y "$OUT/info.log")
+        [ "$il" -gt "$live" ] && live=$il
+      fi
+      if [ $(( now - live )) -gt "$GRACE" ]; then
+        echo "[watchdog] no save and ${GRACE}s of silence; killing attempt"
+        kill "$pid"; sleep 5; kill -9 "$pid" 2>/dev/null; break
+      fi
     fi
   done
   wait "$pid" 2>/dev/null

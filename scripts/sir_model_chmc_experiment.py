@@ -96,12 +96,18 @@ def trace_func(q):
 
 # Initialise the whole fleet by one chain-vmapped gradient-descent loop with
 # residual absorption (one jitted program, not one host loop per chain --
-# essential at 256+ chains through a high-latency accelerator tunnel).
-key = jax.random.PRNGKey(args.seed + 1)
-with utils.cpu_init_scope():
-    q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
-        system, key, num_chains=args.num_chain
-    )
+# essential at 256+ chains through a high-latency accelerator tunnel).  On
+# resume the host-loop driver restores chain state from the checkpoint, so
+# the init (and its on-manifold pre-flight check) is skipped entirely.
+resumed = utils.checkpoint_resume_state(output_dir)
+if resumed is None:
+    key = jax.random.PRNGKey(args.seed + 1)
+    with utils.cpu_init_scope():
+        q_init, x_obs_init = find_initial_states_by_gradient_descent_noisy_system(
+            system, key, num_chains=args.num_chain
+        )
+else:
+    q_init, x_obs_init = resumed
 q_init, x_obs_init = jax.device_put(
     (q_init.astype(dtype), x_obs_init.astype(dtype)), jax.devices()[0]
 )
@@ -110,14 +116,15 @@ q_init, x_obs_init = jax.device_put(
 # utils/config.default_tolerances.
 obs_scale = float(jnp.abs(y_seq).max())
 tols = utils.resolve_chmc_tolerances(args, obs_scale=obs_scale)
-c_val = float(
-    jnp.abs(
-        jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
-    ).max()
-)
-assert c_val < tols["constraint_tol"], (
-    f"init off manifold: max|c|={c_val:.2e} vs tol {tols['constraint_tol']:.2e}"
-)
+if resumed is None:
+    c_val = float(
+        jnp.abs(
+            jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
+        ).max()
+    )
+    assert c_val < tols["constraint_tol"], (
+        f"init off manifold: max|c|={c_val:.2e} vs tol {tols['constraint_tol']:.2e}"
+    )
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(

@@ -125,12 +125,20 @@ init_system = ConditionedDiffusionConstrainedSystem(
     generate_sigma=generate_sigma,
     dim_v_0=sir.dim_v_0,
 )
-with utils.cpu_init_scope():
-    q_init_full, _ = find_initial_states_by_gradient_descent_noisy_system(
-        init_system, jax.random.PRNGKey(args.seed + 1), num_chains=args.num_chain
-    )
+# On resume the host-loop driver restores chain state from the checkpoint,
+# so the expensive fleet init is skipped (the saved q is already the
+# dim_q-truncated HMC state).
+resumed = utils.checkpoint_resume_state(output_dir, keys=("q",))
+if resumed is None:
+    with utils.cpu_init_scope():
+        q_init_full, _ = find_initial_states_by_gradient_descent_noisy_system(
+            init_system, jax.random.PRNGKey(args.seed + 1), num_chains=args.num_chain
+        )
+    q_init_full = q_init_full[:, :dim_q]
+else:
+    (q_init_full,) = resumed
 q_init = jax.device_put(
-    q_init_full[:, :dim_q].astype(dtype), jax.devices()[0]
+    q_init_full.astype(dtype), jax.devices()[0]
 )
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])

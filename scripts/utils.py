@@ -64,6 +64,36 @@ def cpu_init_scope():
     return jax.default_device(cpu)
 
 
+def checkpoint_resume_state(output_dir, keys=("q", "x_obs")):
+    """Saved chain state from ``output_dir/checkpoint.npz``, or ``None``.
+
+    The host-loop drivers (``sample_*_chains_host_loop``) overwrite the
+    passed initial state with the checkpointed one whenever a checkpoint
+    exists, so on resume the expensive fleet initialisation (e.g. the
+    chain-vmapped gradient descent, ~15 min at 256 SIR chains) is dead
+    work.  Callers gate init on this returning ``None``; when it returns
+    arrays they are exactly the state the driver will resume from, so
+    shape/dtype-dependent tracing still sees the right values.
+    """
+    import jax.numpy as jnp
+    import numpy as onp
+
+    path = os.path.join(output_dir, "checkpoint.npz")
+    if not os.path.exists(path):
+        return None
+    try:
+        with onp.load(path, allow_pickle=False) as ck:
+            if any(k not in ck.files for k in keys):
+                return None
+            out = tuple(jnp.asarray(ck[k]) for k in keys)
+    except (OSError, ValueError):
+        # Torn/foreign file: fall back to a fresh init; the driver will
+        # surface any real checkpoint problem itself.
+        return None
+    print(f"[init] resuming from {path}; skipping fleet initialisation")
+    return out
+
+
 def add_common_experiment_args(
     parser, default_num_steps_per_obs, default_num_warm_up_iter, default_num_main_iter
 ):
