@@ -107,3 +107,40 @@ def test_refuses_too_few_draws(tmp_path):
     _write_checkpoint(str(tmp_path / "checkpoint.npz"), main_done=3)
     with pytest.raises(SystemExit):
         summarize_checkpoint(str(tmp_path), min_draws=8)
+
+
+def test_checkpoint_resume_state_contract(tmp_path):
+    """``utils.checkpoint_resume_state`` returns the saved chain state when
+    (and only when) a readable checkpoint with the requested keys exists —
+    the gate the experiment CLIs use to skip fleet init on resume."""
+    _spec_u = importlib.util.spec_from_file_location(
+        "exp_utils",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "utils.py"),
+    )
+    utils_mod = importlib.util.module_from_spec(_spec_u)
+    _spec_u.loader.exec_module(utils_mod)
+
+    # No checkpoint at all -> fresh init.
+    assert utils_mod.checkpoint_resume_state(str(tmp_path)) is None
+
+    q = np.arange(12, dtype=np.float32).reshape(3, 4)
+    x_obs = np.ones((3, 2, 5), np.float32)
+    np.savez(tmp_path / "checkpoint.npz", q=q, x_obs=x_obs, sweep=np.int64(7))
+
+    got = utils_mod.checkpoint_resume_state(str(tmp_path))
+    assert got is not None
+    np.testing.assert_array_equal(np.asarray(got[0]), q)
+    np.testing.assert_array_equal(np.asarray(got[1]), x_obs)
+
+    # HMC-style request: only q.
+    (q_only,) = utils_mod.checkpoint_resume_state(str(tmp_path), keys=("q",))
+    np.testing.assert_array_equal(np.asarray(q_only), q)
+
+    # Missing a requested key -> fresh init (e.g. HMC checkpoint asked for
+    # the CHMC x_obs key).
+    np.savez(tmp_path / "checkpoint.npz", q=q)
+    assert utils_mod.checkpoint_resume_state(str(tmp_path)) is None
+
+    # Torn/corrupt file -> fresh init, not a crash.
+    (tmp_path / "checkpoint.npz").write_bytes(b"not an npz")
+    assert utils_mod.checkpoint_resume_state(str(tmp_path)) is None
