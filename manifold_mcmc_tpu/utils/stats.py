@@ -14,6 +14,7 @@ r_hat).
 
 import numpy as np
 from scipy.special import ndtri
+from scipy.stats import rankdata
 
 __all__ = ["split_rhat", "ess_bulk", "ess_tail", "summary"]
 
@@ -26,13 +27,18 @@ def _split_chains(x):
 
 
 def _rank_normalize(x):
-    """Fractional ranks over all draws mapped through the normal quantile."""
+    """Fractional ranks over all draws mapped through the normal quantile.
+
+    Ties receive their *average* rank (Vehtari et al. 2021, section 3; arviz
+    uses ``scipy.stats.rankdata`` the same way).  Assigning tied values
+    sequential ranks in draw order instead injects an artificial within-chain
+    monotone ramp: for the binary tail-ESS indicator this manufactured
+    near-perfect autocorrelation and pinned ``ess_tail`` at a small constant
+    (~340 at 256 chains) independent of the number of draws.
+    """
     shape = x.shape
-    flat = x.reshape(-1)
-    ranks = np.empty_like(flat)
-    order = np.argsort(flat, kind="stable")
-    ranks[order] = np.arange(1, flat.size + 1)
-    z = ndtri((ranks - 3.0 / 8) / (flat.size + 1.0 / 4))
+    ranks = rankdata(x.reshape(-1), method="average")
+    z = ndtri((ranks - 3.0 / 8) / (ranks.size + 1.0 / 4))
     return z.reshape(shape)
 
 

@@ -45,6 +45,26 @@ def test_ess_correlated_draws(rng):
     assert 0.5 * expected < ess < 2.0 * expected
 
 
+def test_ess_tail_scales_with_draws(rng):
+    # Regression: sequential (stable-sort) ranks for tied values gave the
+    # binary tail indicator a within-chain monotone ramp, pinning ess_tail
+    # at a small constant (~1.3x num chains) independent of draw count.
+    # Average-rank tie handling restores ESS ~ total draws for iid input.
+    small = diag.ess_tail(rng.standard_normal((8, 250)))
+    large = diag.ess_tail(rng.standard_normal((8, 2500)))
+    assert 0.5 * 2000 < small < 1.5 * 2000
+    assert 0.5 * 20000 < large < 1.5 * 20000
+    assert large > 4 * small
+
+
+def test_rank_normalize_averages_ties(rng):
+    # All tied values must map to one z-value regardless of position.
+    x = (rng.standard_normal((4, 100)) > 1.0).astype(np.float64)
+    z = diag._rank_normalize(x)
+    assert len(np.unique(z[x == 0])) == 1
+    assert len(np.unique(z[x == 1])) == 1
+
+
 def test_rhat_detects_nonconvergence(rng):
     # Chains with different means must give a large R-hat.
     x = rng.standard_normal((4, 500))
