@@ -123,12 +123,25 @@ def make_constrained_integrator(
     the integrator closes over it; the sampler rebuilds the closure each
     half-iteration with the refreshed conditioning -- all shapes are static.
     """
-    if projection_solver not in ("newton", "quasi-newton"):
+    if projection_solver not in ("newton", "quasi-newton", "hybrid"):
         raise ValueError(f"unknown projection solver {projection_solver}")
 
     def solve_projection(pos, prev_point, dt, metric):
         if projection_solver == "newton":
             return system.newton_projection(
+                pos,
+                x_obs_seq,
+                prev_point.jac,
+                dt,
+                metric,
+                partition,
+                constraint_tol,
+                position_tol,
+                divergence_tol,
+                max_iters,
+            )
+        if projection_solver == "hybrid":
+            return system.hybrid_projection(
                 pos,
                 x_obs_seq,
                 prev_point.jac,

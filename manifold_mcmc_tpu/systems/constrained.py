@@ -450,6 +450,107 @@ class ConditionedDiffusionConstrainedSystem:
             converged=(error < constraint_tol) & (norm_dq < position_tol),
         )
 
+    @partial(
+        jax.jit,
+        static_argnames=("self", "partition", "max_iters", "refresh_every"),
+    )
+    def hybrid_projection(
+        self,
+        q,
+        x_obs_seq,
+        jac_prev,
+        dt,
+        metric=IdentityMetric(),
+        partition=0,
+        constraint_tol=1e-9,
+        position_tol=1e-8,
+        divergence_tol=1e10,
+        max_iters=50,
+        refresh_every=4,
+    ):
+        """Newton solve with a Jacobian frozen for ``refresh_every`` steps.
+
+        Designed for the cross-chain iteration tail under ``vmap``: the
+        batched ``while_loop`` runs to the MAX iteration count over all
+        chains, so a handful of slow-converging chains make every chain pay
+        ~``max_iters`` quasi-Newton iterations (measured: isolated step
+        14.6 ms vs ~25 ms in-sampler at 1024 chains).  The stale-Gram
+        quasi-Newton scheme (reference ``mici_extensions.py:1323-1364``)
+        converges slowly exactly when the proposal moved far from the
+        previous point; re-linearising fixes that but full Newton
+        (``:1405-1436``) pays a Jacobian + LU *every* iteration.  This solver
+        takes the middle road: each ``while_loop`` round evaluates the
+        Jacobian at the current iterate once, LU-factorises
+        ``dc(q_r) M^-1 dc(q0)^T``, then runs ``refresh_every`` cheap
+        frozen-Jacobian iterations (constraint eval + triangular solves,
+        unrolled, per-chain masked once a chain meets the exit conditions).
+        Every correction stays in ``range(M^-1 dc(q0)^T)`` -- the RATTLE
+        requirement -- so a converged solve lands on the same (locally
+        unique) manifold point as the other two solvers.
+
+        Iteration accounting matches the other solvers: one constraint
+        evaluation = one iteration, with the same pre-update exit test.
+        """
+        scheme = self.schemes[partition]
+        num_state_rows = scheme.num_state_rows_per_block(self.layout)
+        M_0 = metric.param_block(self.layout.dim_u)
+
+        def inner(state, jac_curr, lu):
+            q, mu, i, norm_dq, error = state
+            # Exit conditions from the PREVIOUS evaluation (identical
+            # semantics to the other solvers' while_loop cond).
+            diverged = (error > divergence_tol) | jnp.isnan(error)
+            converged = (error < constraint_tol) & (norm_dq < position_tol)
+            active = ~(diverged | converged) & (i < max_iters)
+            c = self.constr(q, x_obs_seq, partition)
+            err = jnp.max(jnp.abs(c))
+            delta_mu = gram_ops.rmult_by_jacob_constr(
+                jac_prev,
+                gram_ops.lmult_by_inv_jacob_product(jac_curr, jac_prev, *lu, c),
+            )
+            delta_q = metric.inv_mult(delta_mu)
+            return (
+                jnp.where(active, q - delta_q, q),
+                jnp.where(active, mu + delta_mu, mu),
+                i + active.astype(i.dtype),
+                jnp.where(active, jnp.max(jnp.abs(delta_q)), norm_dq),
+                jnp.where(active, err, error),
+            )
+
+        def body(state):
+            q = state[0]
+            jac_curr = self.jacob_constr_blocks(q, x_obs_seq, partition)
+            lu = gram_ops.lu_jacob_product_blocks(
+                M_0, jac_curr, jac_prev, num_state_rows
+            )
+            for _ in range(refresh_every):
+                state = inner(state, jac_curr, lu)
+            return state
+
+        def cond(state):
+            _, _, i, norm_dq, error = state
+            diverged = (error > divergence_tol) | jnp.isnan(error)
+            converged = (error < constraint_tol) & (norm_dq < position_tol)
+            return ~((i >= max_iters) | diverged | converged)
+
+        init = (
+            q,
+            jnp.zeros_like(q),
+            jnp.array(0, jnp.int32),
+            jnp.asarray(jnp.inf, q.dtype),
+            jnp.asarray(-1.0, q.dtype),
+        )
+        q_new, mu, iters, norm_dq, error = lax.while_loop(cond, body, init)
+        pos_factor, _ = self.dh2_flow_dmom_factors(dt)
+        return ProjectionResult(
+            pos=q_new,
+            mu=mu / pos_factor,
+            iters=iters,
+            norm_delta_pos=norm_dq,
+            error=error,
+            converged=(error < constraint_tol) & (norm_dq < position_tol),
+        )
+
 
 class ProjectionResult:
     """Outcome of a manifold projection solve (registered pytree).

@@ -227,9 +227,11 @@ def add_chmc_experiment_args(parser, default_num_obs_per_subseq):
     )
     parser.add_argument(
         "--projection-solver",
-        choices=("newton", "quasi-newton"),
+        choices=("newton", "quasi-newton", "hybrid"),
         default="newton",
-        help="Iterative solver for the manifold projection",
+        help="Iterative solver for the manifold projection (hybrid = Newton "
+        "with the Jacobian frozen for a few steps between re-linearisations; "
+        "cuts the cross-chain iteration tail under vmap)",
     )
     parser.add_argument(
         "--projection-solver-max-iters",

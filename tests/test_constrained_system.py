@@ -333,7 +333,7 @@ def on_manifold_point(system, rng):
     return system_on, q, x_obs_seq
 
 
-@pytest.mark.parametrize("solver", ["newton", "quasi-newton"])
+@pytest.mark.parametrize("solver", ["newton", "quasi-newton", "hybrid"])
 def test_projection_solvers_converge(rng, solver):
     base = make_system()
     system, q0, x_obs_seq = on_manifold_point(base, rng)
@@ -346,6 +346,11 @@ def test_projection_solvers_converge(rng, solver):
     if solver == "newton":
         res = system.newton_projection(
             q_off, x_obs_seq, jac, dt=0.1, constraint_tol=1e-10, position_tol=1e-9
+        )
+    elif solver == "hybrid":
+        res = system.hybrid_projection(
+            q_off, x_obs_seq, jac, dt=0.1,
+            constraint_tol=1e-10, position_tol=1e-9,
         )
     else:
         res = system.quasi_newton_projection(
@@ -375,6 +380,49 @@ def test_projection_solver_reports_divergence(rng):
         q_far, x_obs_seq, jac, chol, dt=0.1, max_iters=3
     )
     assert not bool(res.converged)
+
+
+def test_hybrid_projection_matches_newton_point(rng):
+    """All solvers find the same (locally unique) point on the manifold.
+
+    The RATTLE solution of ``c(q + M^-1 dc(q0)^T lam) = 0`` is locally
+    unique, so a converged hybrid solve must land where the full Newton
+    solve lands, to solver tolerance."""
+    base = make_system()
+    system, q0, x_obs_seq = on_manifold_point(base, rng)
+    jac = system.jacob_constr_blocks(q0, x_obs_seq, 0)
+    q_off = q0 + 5e-3 * jnp.asarray(rng.standard_normal(q0.shape[0]))
+    kw = dict(dt=0.1, constraint_tol=1e-11, position_tol=1e-10)
+    res_n = system.newton_projection(q_off, x_obs_seq, jac, **kw)
+    res_h = system.hybrid_projection(q_off, x_obs_seq, jac, **kw)
+    assert bool(res_n.converged) and bool(res_h.converged)
+    np.testing.assert_allclose(res_h.pos, res_n.pos, rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(res_h.mu, res_n.mu, rtol=1e-6, atol=1e-8)
+    # The hybrid's frozen-Jacobian rounds must not inflate the iteration
+    # count past the quasi-Newton solve it is meant to beat.
+    assert int(res_h.iters) <= 50
+
+
+def test_hybrid_projection_vmapped_masked_failure(rng):
+    """Far-away chains report failure as data; near chains still converge."""
+    base = make_system()
+    system, q0, x_obs_seq = on_manifold_point(base, rng)
+    jac = system.jacob_constr_blocks(q0, x_obs_seq, 0)
+    q_near = q0 + 1e-3 * jnp.asarray(rng.standard_normal(q0.shape[0]))
+    q_far = q0 + 50.0 * jnp.asarray(rng.standard_normal(q0.shape[0]))
+    qs = jnp.stack([q_near, q_far])
+
+    def solve(qq):
+        return system.hybrid_projection(
+            qq, x_obs_seq, jac, dt=0.1, max_iters=8,
+            constraint_tol=1e-10, position_tol=1e-9,
+        )
+
+    res = jax.vmap(solve)(qs)
+    assert bool(res.converged[0])
+    assert not bool(res.converged[1])
+    # Iteration accounting stays within the cap for both chains.
+    assert int(res.iters.max()) <= 8 + 3  # cap + at most one trailing round
 
 
 def test_h2_flow_and_splittings(rng):

@@ -114,7 +114,7 @@ def make_chmc_setup(rng, use_gaussian_splitting=False, num_obs_per_subseq=2):
     return system, q0, x_obs_seq
 
 
-@pytest.mark.parametrize("solver", ["newton", "quasi-newton"])
+@pytest.mark.parametrize("solver", ["newton", "quasi-newton", "hybrid"])
 @pytest.mark.parametrize("gaussian", [False, True])
 @pytest.mark.slow
 def test_constrained_step_preserves_manifold_and_reverses(rng, solver, gaussian):
