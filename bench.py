@@ -219,7 +219,7 @@ def main():
         "MMT_BENCH_CKPT",
         f"/tmp/mmt_bench_v3_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
         f"_d{max_tree_depth}_w{num_warm}_m{num_main}_si{solver_iters_cap}"
-        f"_seed{seed}.npz",
+        f"_seed{seed}_{solver}.npz",
     )
 
     common = dict(

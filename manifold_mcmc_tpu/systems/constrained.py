@@ -490,6 +490,15 @@ class ConditionedDiffusionConstrainedSystem:
 
         Iteration accounting matches the other solvers: one constraint
         evaluation = one iteration, with the same pre-update exit test.
+
+        Measured outcome at the headline config (1024 chains, T=100/S=25/R=5,
+        depth 6, f32, one v5e): iterations drop to 3.1/step (vs 5.5
+        quasi-Newton) but the per-round Jacobian + LU makes pooled step
+        latency 7.6x WORSE (``benchmarks/results/
+        ab_hybrid_solver_1024c_d6_2026-08-20.json``), so the benchmark and
+        experiment default stays ``quasi-newton``; this solver is for
+        small-batch / hard-projection regimes where stale-Gram iteration
+        counts blow up.
         """
         scheme = self.schemes[partition]
         num_state_rows = scheme.num_state_rows_per_block(self.layout)
