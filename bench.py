@@ -10,53 +10,68 @@ wall-clock second over the parameters (sigma, eps, gamma, beta).
 The sampler operates at its TUNED point: step size 0.23, grid-tuned offline
 (committed sweep ``benchmarks/results/step_size_sweep_2026-08-17.json``,
 refined at 1024 chains), sitting inside the reference's target-accept band
-(mean accept ~0.78 vs target 0.8).  In-run dual averaging is deliberately off: its standard
-mu-anchor drives the step into the f32 projection-failure cliff and
-collapses it (committed study ``benchmarks/results/tuned_d10_warmup_*``),
-so tuning is amortised offline exactly like the compile cache.
+(mean accept ~0.78 vs target 0.8).  In-run dual averaging is deliberately
+off: its standard mu-anchor drives the step into the f32 projection-failure
+cliff and collapses it (committed study
+``benchmarks/results/tuned_d10_warmup_*``), so tuning is amortised offline
+exactly like the compile cache.  The cliff-CLAMPED adapter does converge in
+run (``benchmarks/results/warmup_rehab_*``); the fixed tuned step is kept
+here only because it spends the benchmark budget on measurement.
 
 Baseline: the reference publishes no absolute ESS/sec (BASELINE.md), so the
 denominator is *measured*: ``scripts/measure_cpu_baseline.py`` times the
 f64-CPU golden path (the same algorithm/tolerances as the reference's pinned
 single-core CPU setup) at the canonical config and writes
 ``BASELINE_MEASURED.json``.  Because TPU and CPU run the identical sampler,
-ESS per integrator step is the same on both; the speedup therefore reduces to
-the pooled per-step latency ratio:
+ESS per integrator step is comparable on both (measured on the completed
+canonical arms -- see docs/evidence.md); the headline ratio is the pooled
+per-step latency ratio:
 
     vs_baseline = tau_step_cpu / tau_step_tpu
-                = (cpu seconds per constrained leapfrog step, pooled over
-                   chains) / (tpu ditto)
 
 and the implied CPU ESS/sec is ``ess_per_step_tpu / tau_step_cpu``.
 
-Robustness: the tunnelled TPU worker can fault under load, so the parent
-process walks a degradation ladder -- chains, then sequence length / steps /
-tree depth -- retrying each rung in a child process (compiles are reused via
-the persistent compilation cache).  Three guarantees make a result land
-inside an unknown driver budget (the round-1 failure mode was a successful
-rung whose result was withheld while a second rung burned the clock):
+Robustness contract (round-3 hardening; the round-1/2 failures were a child
+that burned its whole budget and reported nothing):
 
 1. the FIRST successful measurement is printed immediately and the process
    exits -- no refinement afterwards;
 2. each child receives an absolute wall-clock deadline
    (``MMT_BENCH_DEADLINE_TS``) threaded into the host-loop driver, which
    stops dispatching sweeps in time to report a result computed on the
-   completed prefix (>= MIN_MAIN_SWEEPS main sweeps) instead of dying with
-   nothing;
-3. progress is checkpointed every few sweeps under a config-keyed path, so
-   retries -- and entirely separate invocations -- resume completed sweeps
-   instead of restarting.
+   completed prefix (>= MIN_MAIN_SWEEPS main sweeps);
+3. progress is checkpointed every few sweeps under a config-keyed path
+   (now including per-sweep wall times), so retries -- and entirely
+   separate invocations -- resume completed sweeps instead of restarting;
+4. a LAST-RESORT daemon watchdog inside the child fires shortly after the
+   deadline no matter where the main thread is stuck (init dispatch, cold
+   compile, hung ``block_until_ready``, retry backoff), salvages a result
+   from the on-disk checkpoint when >= MIN_MAIN_SWEEPS sweeps exist, and
+   otherwise dumps the phase + a full Python traceback and exits rc=5;
+5. ``retry_transient`` backoff sleeps are capped by the same deadline
+   (``MMT_RETRY_DEADLINE_TS``), so a transient-fault loop cannot sleep
+   through the budget;
+6. on child timeout the parent prints the child's captured stdout/stderr
+   tails (round 2 destroyed them -- the failure was undiagnosable) and
+   scans the captured stdout for a result line the watchdog may have
+   printed just before the kill.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras},
+including FLOP/roofline accounting (est_flops_per_step from the committed
+XLA cost-analysis table ``benchmarks/results/flops_canonical.json``,
+achieved_flops_per_sec, mfu_vs_v5e_bf16_peak, binding regime).
 
 Env overrides: MMT_BENCH_CHAINS/WARM/MAIN/T/S/R, MMT_BENCH_X64,
-MMT_BENCH_DRIVER (host|ingraph), MMT_BENCH_DEADLINE, MMT_BENCH_RUNG.
+MMT_BENCH_DRIVER (host|ingraph), MMT_BENCH_DEADLINE, MMT_BENCH_RUNG,
+MMT_BENCH_CHILD_TIMEOUT, MMT_BENCH_SPLITTING (standard|gaussian).
 """
 
+import faulthandler
 import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 import jax
@@ -77,23 +92,56 @@ import numpy as np  # noqa: E402
 # at the canonical (T=100, S=25, R=5) costs ~15 ms at 1024 chains (true
 # device time; each dispatch additionally pays a ~25 ms tunnel round trip).
 # The host-loop driver dispatches one sub-iteration (<= 2**depth steps) at a
-# time, so a depth-8 sub-iteration at 1024 chains is ~4-6 s -- comfortably
+# time, so a depth-6 sub-iteration at 1024 chains is ~1-2 s -- comfortably
 # under the watchdog.  Each entry: (chains, T, S, R, max_tree_depth, warm,
 # main); later rungs are the degradation path proven in earlier rounds.
+# Rung 0 is sized so that a COLD, 6x-contended child still lands inside one
+# ~600 s child budget: 32 main sweeps ~= 80-500 s of measurement; the
+# tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
+# deadline-partial floor.
 RUNGS = [
-    (1024, 100, 25, 5, 6, 0, 96),
-    (512, 100, 25, 5, 6, 0, 96),
-    (256, 100, 25, 5, 6, 0, 64),
-    (64, 100, 25, 5, 6, 0, 64),
-    (64, 25, 10, 5, 5, 16, 64),
+    (1024, 100, 25, 5, 6, 0, 32),
+    (512, 100, 25, 5, 6, 0, 32),
+    (256, 100, 25, 5, 6, 0, 32),
+    (64, 100, 25, 5, 6, 0, 32),
+    (64, 25, 10, 5, 5, 16, 32),
     (32, 25, 10, 5, 4, 16, 32),
 ]
+if os.environ.get("MMT_BENCH_RUNGS"):
+    # Test/emergency override: a JSON list of [chains, T, S, R, depth,
+    # warm, main] rows replacing the built-in ladder.
+    RUNGS = [tuple(r) for r in json.loads(os.environ["MMT_BENCH_RUNGS"])]
 
 # A result computed on at least this many completed main sweeps (2 CHMC
 # iterations each) is considered reportable; the ESS estimate is rough on
 # such a short prefix but honest, and the headline tau_step ratio is not
 # length-sensitive.
 MIN_MAIN_SWEEPS = 8
+
+# TPU v5e (v5 lite) single-chip peaks for the roofline fields: 197 TFLOP/s
+# bf16 on the MXU (the achievable ceiling; f32 at "highest" matmul precision
+# runs multi-pass bf16 and peaks lower) and 819 GB/s HBM bandwidth.
+V5E_BF16_PEAK_FLOPS = 197e12
+V5E_HBM_BYTES_PER_SEC = 819e9
+
+_TRACE_NAMES = ("sigma", "eps", "gamma", "beta")
+
+# --------------------------------------------------------------------- #
+# single-result gate: exactly one outcome (result line or error exit) is
+# ever produced, whether by the main thread or the watchdog
+# --------------------------------------------------------------------- #
+_FINISH_LOCK = threading.Lock()
+_FINISHED = False
+
+
+def _claim_finish():
+    """True exactly once across all threads; the claimant prints/exits."""
+    global _FINISHED
+    with _FINISH_LOCK:
+        if _FINISHED:
+            return False
+        _FINISHED = True
+        return True
 
 
 def _load_measured_baseline():
@@ -130,19 +178,260 @@ def _baseline_tau_step(measured, T, S, R):
     return canon["tau_step_pooled_s"] * (T * S) / (100 * 25)
 
 
+def _load_flops_table(T, S, R, dtype_name):
+    """Committed XLA cost-analysis table for the canonical config, or None.
+
+    ``benchmarks/flops_accounting.py`` lowers the actual constrained-step
+    and projection-iteration programs and records their FLOP/byte counts
+    (while-loop bodies counted once, so the composition formula below adds
+    the measured extra solver iterations).
+    """
+    path = os.path.join(_repo, "benchmarks", "results", "flops_canonical.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            tab = json.load(f)
+    except (OSError, ValueError):
+        return None
+    cfg = tab.get("config", {})
+    if (cfg.get("T"), cfg.get("S"), cfg.get("R")) != (T, S, R):
+        return None
+    if cfg.get("dtype") != dtype_name:
+        return None
+    return tab
+
+
+def _mfu_fields(flops_tab, n_bar, n_steps_total, total_time):
+    """FLOP / roofline accounting fields for the result JSON.
+
+    ``est_flops_per_step`` composes the cost-analysis counts: the step
+    program (its two projection while-loops counted at one iteration each)
+    plus the measured extra solver iterations -- ``n_bar`` is solver iters
+    per *solve* and each step runs two solves (forward + reversibility
+    check), so the extra iteration count is ``2*n_bar - 2``.
+    """
+    if flops_tab is None or total_time <= 0:
+        return {"est_flops_per_step": None}
+    extra_iters = max(2.0 * n_bar - 2.0, 0.0)
+    est_step = flops_tab["step_flops"] + extra_iters * flops_tab["solver_iter_flops"]
+    est_bytes = flops_tab.get("step_bytes")
+    if est_bytes is not None:
+        est_bytes = est_bytes + extra_iters * flops_tab.get("solver_iter_bytes", 0.0)
+    achieved = est_step * n_steps_total / total_time
+    mfu = achieved / V5E_BF16_PEAK_FLOPS
+    out = {
+        "est_flops_per_step": float(f"{est_step:.4g}"),
+        "achieved_flops_per_sec": float(f"{achieved:.4g}"),
+        "mfu_vs_v5e_bf16_peak": float(f"{mfu:.3e}"),
+    }
+    if est_bytes is not None:
+        # Bytes-accessed from the CPU cost analysis counts every HLO op's
+        # operand traffic WITHOUT fusion -- an upper bound on true HBM
+        # traffic (XLA:TPU fuses most elementwise chains into their
+        # producers), labelled accordingly.
+        bw = est_bytes * n_steps_total / total_time
+        out["est_bytes_per_step_unfused_upper"] = float(f"{est_bytes:.4g}")
+        out["achieved_bytes_per_sec_unfused_upper"] = float(f"{bw:.4g}")
+    # Which resource binds?  With MXU utilisation far below peak (and true
+    # HBM traffic below the unfused upper bound), the run is bound by
+    # per-dispatch latency (tunnel round trips + kernel-launch overheads on
+    # small batched linear algebra), not by a hardware roofline.
+    if mfu > 0.3:
+        out["binding_regime"] = "compute-bound (MXU)"
+    else:
+        out["binding_regime"] = (
+            "dispatch-latency-bound: small batched linear algebra leaves "
+            "MXU utilisation far below peak"
+        )
+    return out
+
+
+def _compute_output(
+    traces,
+    stats,
+    total_time,
+    n_main_sweeps_done,
+    n_main_sweeps_target,
+    ctx,
+    extras,
+):
+    """Assemble the single-line result JSON from host numpy arrays.
+
+    ``traces``: {name: (chains, iters)}; ``stats``: {name: (chains, iters)};
+    ``total_time``: measurement seconds attributed to the completed sweeps.
+    Shared by the normal path and the watchdog salvage so the two cannot
+    drift in their metric definitions.
+    """
+    from manifold_mcmc_tpu.utils import stats as diag
+
+    n_steps_total = int(np.asarray(stats["n_step"]).sum())
+    solver_iters_total = int(np.asarray(stats["n_solver_iters"]).sum())
+    accept = float(np.asarray(stats["accept_stat"]).mean())
+    ess = {name: diag.ess_bulk(traces[name]) for name in _TRACE_NAMES}
+    min_ess = float(min(ess.values()))
+    ess_per_sec = min_ess / total_time
+    # Pooled per-constrained-leapfrog-step latency (reference tau_step,
+    # ``fhn_model_noiseless_obs_generate_plots.py:99-109``).
+    step_latency = total_time / max(n_steps_total, 1)
+    # Average Newton/quasi-Newton iterations per step (reference n-bar,
+    # constr_calls / (2 * steps) analog).
+    n_bar = solver_iters_total / max(2 * n_steps_total, 1)
+
+    tau_cpu = ctx["tau_cpu"]
+    if tau_cpu is not None:
+        vs_baseline = tau_cpu / step_latency
+        cpu_ess_per_sec = (min_ess / max(n_steps_total, 1)) / tau_cpu
+        baseline_desc = ctx["baseline_desc"]
+    else:
+        vs_baseline = ess_per_sec  # vs. the documented 1.0 ess/s estimate
+        cpu_ess_per_sec = 1.0
+        baseline_desc = "unmeasured estimate (BASELINE.md axis midrange)"
+    out = {
+        "metric": "fhn_noiseless_chmc_ess_per_sec",
+        "value": round(ess_per_sec, 3),
+        "unit": "ess/s",
+        "vs_baseline": round(vs_baseline, 2),
+        "baseline_cpu_ess_per_sec": float(f"{cpu_ess_per_sec:.4g}"),
+        "baseline_cpu_tau_step_s": None if tau_cpu is None else float(f"{tau_cpu:.4g}"),
+        "baseline_kind": baseline_desc,
+        "min_param_ess_bulk": round(min_ess, 1),
+        "ess_bulk": {k: round(v, 1) for k, v in ess.items()},
+        "wall_time_s": round(total_time, 2),
+        "pooled_step_latency_s": float(f"{step_latency:.3e}"),
+        "avg_solver_iters_per_step": round(n_bar, 2),
+        "mean_accept_stat": round(accept, 3),
+        "num_chains": ctx["num_chains"],
+        "num_warm_up_iter": ctx["num_warm"],
+        "num_main_iter": ctx["num_main"],
+        "num_main_iter_completed": int(traces[_TRACE_NAMES[0]].shape[1]),
+        "partial": n_main_sweeps_done < n_main_sweeps_target,
+        "driver": ctx["driver"],
+        "config": {
+            "T": ctx["T"],
+            "S": ctx["S"],
+            "R": ctx["R"],
+            "max_tree_depth": ctx["depth"],
+            "dtype": ctx["dtype_name"],
+            "splitting": ctx["splitting"],
+        },
+        "seed": ctx["seed"],
+        # The tunnelled chip's throughput swings up to ~6x run-to-run at
+        # identical configs (measured; see benchmarks/results/ for the
+        # band); a single bench invocation samples that distribution.
+        "single_run_of_variance_band": True,
+    }
+    out.update(_mfu_fields(ctx["flops_tab"], n_bar, n_steps_total, total_time))
+    out.update(extras)
+    return out
+
+
+def _salvage_from_checkpoint(ctx):
+    """Build a result dict from the rung checkpoint alone, or None.
+
+    Runs on the watchdog thread while the main thread may be wedged
+    anywhere; uses only host-side numpy (checkpoint file + pure-numpy ESS).
+    """
+    path = ctx["ckpt"]
+    try:
+        if not os.path.exists(path):
+            return None
+        with np.load(path, allow_pickle=True) as ck:
+            files = set(ck.files)
+            need = {f"trc__{n}" for n in _TRACE_NAMES} | {
+                "stc__n_step",
+                "stc__n_solver_iters",
+                "stc__accept_stat",
+                "clean_main_times",
+            }
+            if not need <= files:
+                sys.stderr.write(
+                    f"[bench-child] salvage: checkpoint missing {need - files}\n"
+                )
+                return None
+            traces = {}
+            for n in _TRACE_NAMES:
+                v = ck[f"trc__{n}"]  # (chains, sweeps, partitions)
+                traces[n] = v.reshape(v.shape[0], -1)
+            stats = {
+                k[len("stc__"):]: ck[k].reshape(ck[k].shape[0], -1)
+                for k in files
+                if k.startswith("stc__")
+            }
+            clean_times = np.asarray(ck["clean_main_times"], np.float64)
+        n_sweeps = traces[_TRACE_NAMES[0]].shape[1] // max(ctx["num_partition"], 1)
+        if n_sweeps < MIN_MAIN_SWEEPS or clean_times.size == 0:
+            sys.stderr.write(
+                f"[bench-child] salvage: only {n_sweeps} sweeps / "
+                f"{clean_times.size} timed -- below the reportable floor\n"
+            )
+            return None
+        per_sweep = float(np.median(clean_times))
+        total_time = per_sweep * n_sweeps
+        return _compute_output(
+            traces,
+            stats,
+            total_time,
+            n_sweeps,
+            ctx["n_main_sweeps_target"],
+            ctx,
+            extras={"salvaged_by_watchdog": True},
+        )
+    except Exception as err:  # noqa: BLE001 - last-resort path must not raise
+        sys.stderr.write(f"[bench-child] salvage failed: {err!r}\n")
+        return None
+
+
+def _watchdog(ctx):
+    """Last-resort in-child deadline enforcement (daemon thread).
+
+    Fires shortly after the host-loop deadline if the main thread has not
+    finished: dumps where every thread is stuck, then either prints a
+    checkpoint-derived result (exit 0) or exits rc=5 so the parent degrades
+    immediately instead of burning the rest of its budget.
+    """
+    fire_ts = ctx["deadline_ts"] + 8.0
+    while True:
+        now = time.time()
+        if _FINISHED or now >= fire_ts:
+            break
+        time.sleep(min(5.0, fire_ts - now))
+    if not _claim_finish():
+        return
+    sys.stderr.write(
+        f"[bench-child] WATCHDOG fired at phase '{ctx['phase'][0]}' "
+        f"({time.time() - ctx['t_start']:.0f}s into the child); "
+        "thread tracebacks:\n"
+    )
+    try:
+        faulthandler.dump_traceback(file=sys.stderr)
+    except Exception:  # noqa: BLE001
+        pass
+    sys.stderr.flush()
+    out = _salvage_from_checkpoint(ctx)
+    if out is not None:
+        print(json.dumps(out), flush=True)
+        sys.stderr.write("[bench-child] watchdog salvaged a checkpoint result\n")
+        sys.stderr.flush()
+        os._exit(0)
+    sys.stderr.write("[bench-child] watchdog: nothing salvageable; rc=5\n")
+    sys.stderr.flush()
+    os._exit(5)
+
+
 def main():
     from manifold_mcmc_tpu.init.interpolation import (
         find_initial_state_by_linear_interpolation,
     )
     from manifold_mcmc_tpu.models import fhn
     from manifold_mcmc_tpu.samplers.chains import (
+        retry_transient,
         sample_chmc_chains,
         sample_chmc_chains_host_loop,
     )
     from manifold_mcmc_tpu.systems.constrained import (
         ConditionedDiffusionConstrainedSystem,
     )
-    from manifold_mcmc_tpu.utils import stats as diag
     from manifold_mcmc_tpu.utils.config import default_tolerances
 
     num_chains = int(os.environ.get("MMT_BENCH_CHAINS", 1024))
@@ -153,10 +442,64 @@ def main():
     R = int(os.environ.get("MMT_BENCH_R", 5))
     driver = os.environ.get("MMT_BENCH_DRIVER", "host")
     seed = int(os.environ.get("MMT_BENCH_SEED", 1))
+    splitting = os.environ.get("MMT_BENCH_SPLITTING", "standard")
     dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     tols = default_tolerances()
 
+    solver = os.environ.get("MMT_BENCH_SOLVER", "quasi-newton")
+    max_tree_depth = int(os.environ.get("MMT_BENCH_MAX_TREE_DEPTH", 8))
+    solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50))
+    # The checkpoint key must pin the FULL run configuration: resuming a
+    # checkpoint from a different rung (or an older code version) would
+    # silently skip sweeps or load an incompatible trace layout.
+    ckpt = os.environ.get(
+        "MMT_BENCH_CKPT",
+        f"/tmp/mmt_bench_v3_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
+        f"_d{max_tree_depth}_w{num_warm}_m{num_main}_si{solver_iters_cap}"
+        f"_seed{seed}_{solver}_{splitting}.npz",
+    )
+    deadline_ts = float(os.environ.get("MMT_BENCH_DEADLINE_TS", "inf"))
+
+    measured = _load_measured_baseline()
+    ctx = {
+        "phase": ["imports-done"],
+        "t_start": time.time(),
+        "ckpt": ckpt,
+        "deadline_ts": deadline_ts,
+        "num_chains": num_chains,
+        "num_warm": num_warm,
+        "num_main": num_main,
+        "T": T,
+        "S": S,
+        "R": R,
+        "depth": max_tree_depth,
+        "driver": driver,
+        "seed": seed,
+        "splitting": splitting,
+        "dtype_name": str(dtype.__name__),
+        "tau_cpu": _baseline_tau_step(measured, T, S, R),
+        "baseline_desc": (measured or {}).get("description", "measured"),
+        "flops_tab": _load_flops_table(T, S, R, str(dtype.__name__)),
+        "num_partition": 2,  # refined after the system is built
+        "n_main_sweeps_target": max((num_main + 1) // 2, 1),
+    }
+
+    def phase(p):
+        ctx["phase"][0] = p
+        sys.stderr.write(
+            f"[bench-child] phase: {p} ({time.time() - ctx['t_start']:.0f}s)\n"
+        )
+        sys.stderr.flush()
+
+    if np.isfinite(deadline_ts):
+        # Cap retry_transient's backoff by the same deadline so a transient-
+        # fault loop cannot sleep through the budget (samplers honour the
+        # env; see retry_transient).
+        os.environ["MMT_RETRY_DEADLINE_TS"] = str(deadline_ts)
+        threading.Thread(target=_watchdog, args=(ctx,), daemon=True).start()
+
     # --- data generation (reference seed + true parameters) -------------- #
+    phase("data-gen")
     rng = np.random.default_rng(20200710)
     z_true = jnp.array([0.3, 0.1, 1.5, 0.8], dtype)
     x0_true = jnp.array([-0.5, 0.2], dtype)
@@ -164,6 +507,7 @@ def main():
     v_data = jnp.asarray(rng.standard_normal((T * steps_data, fhn.dim_v)), dtype)
     y_seq = fhn.generate_y_seq(z_true, x0_true, v_data, 0.2 / steps_data, steps_data)
 
+    phase("system-build")
     system = ConditionedDiffusionConstrainedSystem(
         obs_interval=0.2,
         num_steps_per_obs=S,
@@ -176,9 +520,12 @@ def main():
         generate_x_0=fhn.generate_x_0,
         generate_z=fhn.generate_z,
         obs_func=fhn.obs_func,
+        use_gaussian_splitting=splitting == "gaussian",
         dim_v_0=fhn.dim_v_0,
     )
     num_partition = system.num_partition
+    ctx["num_partition"] = num_partition
+    ctx["n_main_sweeps_target"] = -(-num_main // num_partition)
 
     # --- chain initialisation (observation-consistent targets) ----------- #
     def x_obs_target(key):
@@ -197,8 +544,7 @@ def main():
 
         return jax.vmap(one)(keys)
 
-    from manifold_mcmc_tpu.samplers.chains import retry_transient
-
+    phase("chain-init")
     t0 = time.time()
     q_init, x_obs_init = retry_transient(
         lambda: init_chains(jax.random.PRNGKey(20200710)), what="chain init"
@@ -208,19 +554,6 @@ def main():
     def trace_func(q):
         z = fhn.generate_z(q[: fhn.dim_z])
         return {"sigma": z[0], "eps": z[1], "gamma": z[2], "beta": z[3]}
-
-    solver = os.environ.get("MMT_BENCH_SOLVER", "quasi-newton")
-    max_tree_depth = int(os.environ.get("MMT_BENCH_MAX_TREE_DEPTH", 8))
-    # The checkpoint key must pin the FULL run configuration: resuming a
-    # checkpoint from a different rung (or an older code version) would
-    # silently skip sweeps or load an incompatible trace layout.
-    solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50))
-    ckpt = os.environ.get(
-        "MMT_BENCH_CKPT",
-        f"/tmp/mmt_bench_v3_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
-        f"_d{max_tree_depth}_w{num_warm}_m{num_main}_si{solver_iters_cap}"
-        f"_seed{seed}_{solver}.npz",
-    )
 
     common = dict(
         projection_solver=solver,
@@ -242,22 +575,20 @@ def main():
         # committed sweep in benchmarks/results/step_size_sweep_*.json maps
         # accept/ESS-per-sec over [0.05, 0.5]): 0.23 sits inside the
         # reference's target-accept band (measured mean accept 0.78 at 1024
-        # chains against adapt_stat_target 0.8) and maximises ESS/sec.  Dual averaging is
-        # not run inside the benchmark because its mu-anchor (log 10*eps_0)
-        # drives the step into the f32 projection-failure cliff (~0.5),
-        # collapses it by two orders of magnitude, and cannot recover within
-        # the canonical warm-up (committed study:
-        # benchmarks/results/tuned_d10_warmup_2026-08-17.json).
+        # chains against adapt_stat_target 0.8) and maximises ESS/sec.
+        # In-run adaptation evidence lives in warmup_rehab_* (cliff-clamped
+        # dual averaging converging on the chip); the bench keeps the
+        # amortised tuned point so its budget is spent measuring.
         init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23)),
     )
 
-    deadline_ts = float(os.environ.get("MMT_BENCH_DEADLINE_TS", "inf"))
     t_run = time.time()
     if driver == "ingraph":
         # Flagship fully-on-device driver: warm-up and main stages are
         # single jitted programs (lax.scan over sweeps); only two host
         # transfers in total.  ``return_timings`` AOT-compiles each stage so
         # the recorded execution time is pure device time.
+        phase("ingraph-run")
         result = sample_chmc_chains(
             system,
             q_init,
@@ -272,12 +603,11 @@ def main():
         )
         jax.block_until_ready(result["final_pos"])
         total_time = result["timings"]["main_exec_s"]
-        skip_iters = 0
-        partial = False
-        n_main_done = num_main
+        n_main_done = ctx["n_main_sweeps_target"]
     else:
         # Host-loop driver: per-sweep dispatch, crash-durable checkpoints,
         # deadline-aware (returns the completed prefix instead of dying).
+        phase("host-loop-sweeps")
         result = sample_chmc_chains_host_loop(
             system,
             q_init,
@@ -288,20 +618,22 @@ def main():
             checkpoint_path=ckpt,
             checkpoint_every=8,
             progress_every=8,
-            deadline_ts=deadline_ts if np.isfinite(deadline_ts) else None,
+            deadline_ts=deadline_ts - 20.0 if np.isfinite(deadline_ts) else None,
             **common,
         )
         jax.block_until_ready(result["final_pos"])
+        phase("result-computation")
         n_main_done = result["n_main_sweeps_done"]
-        partial = n_main_done < result["n_main_sweeps"]
         if n_main_done < MIN_MAIN_SWEEPS:
             # Not enough completed sweeps for an honest estimate; the
             # checkpoint holds the progress for the next attempt to resume.
-            sys.stderr.write(
-                f"[bench] deadline with only {n_main_done} main sweeps; "
-                "progress checkpointed for resume\n"
-            )
-            return 3
+            if _claim_finish():
+                sys.stderr.write(
+                    f"[bench] deadline with only {n_main_done} main sweeps; "
+                    "progress checkpointed for resume\n"
+                )
+                return 3
+            return 0  # watchdog already produced the outcome
         main_times = result["timings"]["main_sweep_s"]
         # Per-sweep cost estimated from THIS process's dispatches, excluding
         # the first (it pays the executable load/compile); the total run time
@@ -315,98 +647,77 @@ def main():
             # drop it so the next attempt measures fresh.
             timed = result["timings"]["warm_sweep_s"][1:]
         if not timed:
-            if os.path.exists(ckpt):
-                os.remove(ckpt)
-            sys.stderr.write("[bench] no timed sweeps; checkpoint dropped\n")
-            return 4
+            if _claim_finish():
+                if os.path.exists(ckpt):
+                    os.remove(ckpt)
+                sys.stderr.write("[bench] no timed sweeps; checkpoint dropped\n")
+                return 4
+            return 0
         per_sweep = float(np.median(timed))
         total_time = per_sweep * n_main_done
-        skip_iters = 0
+
     wall_time_all = time.time() - t_run
     compile_time = wall_time_all - sum(
         result["timings"].get("main_sweep_s", [total_time])
     )  # compiles + warm-up sweeps
 
-    traces = {
-        k: np.asarray(result["traces"][k])[:, skip_iters:]
-        for k in ("sigma", "eps", "gamma", "beta")
-    }
-    stats = {
-        k: np.asarray(v)[:, skip_iters:] for k, v in result["stats"].items()
-    }
-    n_steps_total = int(np.asarray(stats["n_step"]).sum())
-    solver_iters_total = int(np.asarray(stats["n_solver_iters"]).sum())
-    accept = float(np.asarray(stats["accept_stat"]).mean())
-    ess = {name: diag.ess_bulk(traces[name]) for name in traces}
-    min_ess = float(min(ess.values()))
-    ess_per_sec = min_ess / total_time
-    # Pooled per-constrained-leapfrog-step latency (reference tau_step,
-    # ``fhn_model_noiseless_obs_generate_plots.py:99-109``).
-    step_latency = total_time / max(n_steps_total, 1)
-    # Average Newton/quasi-Newton iterations per step (reference n-bar,
-    # constr_calls / (2 * steps) analog).
-    n_bar = solver_iters_total / max(2 * n_steps_total, 1)
-
-    measured = _load_measured_baseline()
-    tau_cpu = _baseline_tau_step(measured, T, S, R)
-    if tau_cpu is not None:
-        vs_baseline = tau_cpu / step_latency
-        cpu_ess_per_sec = (min_ess / max(n_steps_total, 1)) / tau_cpu
-        baseline_desc = measured.get("description", "measured")
-    else:
-        vs_baseline = ess_per_sec  # vs. the documented 1.0 ess/s estimate
-        cpu_ess_per_sec = 1.0
-        baseline_desc = "unmeasured estimate (BASELINE.md axis midrange)"
-    out = {
-        "metric": "fhn_noiseless_chmc_ess_per_sec",
-        "value": round(ess_per_sec, 3),
-        "unit": "ess/s",
-        "vs_baseline": round(vs_baseline, 2),
-        "baseline_cpu_ess_per_sec": float(f"{cpu_ess_per_sec:.4g}"),
-        "baseline_cpu_tau_step_s": None if tau_cpu is None else float(f"{tau_cpu:.4g}"),
-        "baseline_kind": baseline_desc,
-        "min_param_ess_bulk": round(min_ess, 1),
-        "ess_bulk": {k: round(v, 1) for k, v in ess.items()},
-        "wall_time_s": round(total_time, 2),
-        "compile_and_warmup_time_s": round(compile_time, 1),
-        "init_time_s": round(init_time, 1),
-        "pooled_step_latency_s": float(f"{step_latency:.3e}"),
-        "avg_solver_iters_per_step": round(n_bar, 2),
-        "mean_accept_stat": round(accept, 3),
-        "num_chains": num_chains,
-        "num_warm_up_iter": num_warm,
-        "num_main_iter": num_main,
-        "num_main_iter_completed": int(traces["sigma"].shape[1]),
-        "partial": partial,
-        "driver": driver,
-        "config": {
-            "T": T,
-            "S": S,
-            "R": R,
-            "max_tree_depth": max_tree_depth,
-            "dtype": str(dtype.__name__),
+    traces = {k: np.asarray(result["traces"][k]) for k in _TRACE_NAMES}
+    stats = {k: np.asarray(v) for k, v in result["stats"].items()}
+    out = _compute_output(
+        traces,
+        stats,
+        total_time,
+        n_main_done,
+        ctx["n_main_sweeps_target"],
+        ctx,
+        extras={
+            "compile_and_warmup_time_s": round(compile_time, 1),
+            "init_time_s": round(init_time, 1),
+            "final_step_size": round(float(result["final_step_size"]), 5),
+            "device": str(jax.devices()[0]),
         },
-        "final_step_size": round(float(result["final_step_size"]), 5),
-        "seed": seed,
-        "device": str(jax.devices()[0]),
-        # The tunnelled chip's throughput swings up to ~6x run-to-run at
-        # identical configs (measured; see benchmarks/results/ for the
-        # band); a single bench invocation samples that distribution.
-        "single_run_of_variance_band": True,
-    }
+    )
+    if not _claim_finish():
+        return 0  # watchdog won the race; its outcome stands
     print(json.dumps(out), flush=True)
     # A COMPLETED measurement's checkpoint must not leak into future runs; a
     # partial one is kept so the next invocation resumes the remaining sweeps.
-    if not partial and ckpt and os.path.exists(ckpt):
+    if not out["partial"] and ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
     return 0
 
 
+def _tail(text, n=30):
+    if not text:
+        return "<empty>"
+    if isinstance(text, bytes):
+        text = text.decode(errors="replace")
+    lines = text.splitlines()
+    return "\n".join(lines[-n:])
+
+
+def _find_result_line(text):
+    if not text:
+        return None
+    if isinstance(text, bytes):
+        text = text.decode(errors="replace")
+    return next(
+        (
+            ln
+            for ln in text.splitlines()
+            if ln.startswith("{") and '"metric"' in ln
+        ),
+        None,
+    )
+
+
 def _attempt(env, timeout_s):
-    """Run one child measurement; return the parsed JSON line or None."""
+    """Run one child measurement; return (result line or None, child rc)."""
     env = dict(env)
-    # Absolute deadline for the child's host loop: leave margin under the
-    # subprocess kill so the child always gets to print what it measured.
+    # Absolute deadline for the child's host loop and watchdog: leave margin
+    # under the subprocess kill so the child always gets to print what it
+    # measured (graceful host-loop stop at deadline-20, watchdog salvage at
+    # deadline+8, parent kill at deadline+30).
     env["MMT_BENCH_DEADLINE_TS"] = str(time.time() + timeout_s - 30.0)
     try:
         proc = subprocess.run(
@@ -416,25 +727,25 @@ def _attempt(env, timeout_s):
             text=True,
             timeout=timeout_s,
         )
-    except subprocess.TimeoutExpired:
-        sys.stderr.write(f"[bench] child timed out after {timeout_s:.0f}s\n")
-        return None
-    line = next(
-        (
-            ln
-            for ln in proc.stdout.splitlines()
-            if ln.startswith("{") and '"metric"' in ln
-        ),
-        None,
-    )
+    except subprocess.TimeoutExpired as exc:
+        # Full forensics: round 2 dropped the captured output here, making
+        # the failure undiagnosable.  The watchdog may also have printed a
+        # result in the instant before the kill -- honour it.
+        line = _find_result_line(exc.stdout)
+        sys.stderr.write(
+            f"[bench] child timed out after {timeout_s:.0f}s"
+            f"{' but salvaged a result' if line else ''}\n"
+            f"[bench] child stdout tail:\n{_tail(exc.stdout)}\n"
+            f"[bench] child stderr tail:\n{_tail(exc.stderr)}\n"
+        )
+        return line, -9
+    line = _find_result_line(proc.stdout)
     if line is None:
         sys.stderr.write(
             f"[bench] child finished without a result (rc={proc.returncode});"
-            " stderr tail:\n"
-            + "\n".join(proc.stderr.splitlines()[-5:])
-            + "\n"
+            f" stderr tail:\n{_tail(proc.stderr)}\n"
         )
-    return line
+    return line, proc.returncode
 
 
 def _run_ladder():
@@ -442,9 +753,11 @@ def _run_ladder():
 
     The FIRST successful measurement is printed immediately and the process
     exits 0 -- an unknown external budget means a held-back result is a lost
-    result (the round-1 failure).  Failed/timed-out attempts retry the same
-    rung first (checkpoint resume makes retries pick up where the last one
-    stopped) before degrading.
+    result (the round-1 failure).  Per-rung policy keyed on the child's
+    exit: rc=5 (watchdog, zero salvageable progress) retries once -- the
+    retry reuses the persistent compile cache, which is the dominant cold
+    cost -- then degrades; rc=3 (graceful deadline, partial progress
+    checkpointed) retries the same rung to resume its sweeps.
     """
     deadline = float(os.environ.get("MMT_BENCH_DEADLINE", 1500))
     t_start = time.time()
@@ -467,22 +780,37 @@ def _run_ladder():
             MMT_BENCH_MAIN=str(main),
         )
         for attempt in range(3):
-            if remaining() < 180:
+            if remaining() < 120:
                 sys.stderr.write("[bench] out of budget\n")
                 return 1
+            # One LONG attempt per rung is the optimal geometry: a child
+            # pays its trace+compile once (hundreds of seconds cold), and
+            # with the graceful host-loop deadline + the in-child watchdog
+            # it always emits a (possibly partial/salvaged) result by its
+            # deadline -- unlike short children, which can burn their whole
+            # budget on tracing and report nothing (round-3 rehearsal
+            # measurement).  Later attempts only run when the child died
+            # early (crash) or checkpointed progress worth resuming.
             budget = min(
                 remaining() - 20,
-                float(os.environ.get("MMT_BENCH_CHILD_TIMEOUT", 1380)),
+                float(os.environ.get("MMT_BENCH_CHILD_TIMEOUT", 1320)),
             )
             sys.stderr.write(
                 f"[bench] rung {rung_idx} attempt {attempt + 1}: "
                 f"{chains} chains T={T} S={S} depth={depth} "
                 f"(budget {budget:.0f}s)\n"
             )
-            line = _attempt(env, budget)
+            line, rc = _attempt(env, budget)
             if line is not None:
                 print(line, flush=True)
                 return 0
+            if rc == 5 and attempt >= 1:
+                # Two watchdog fires with zero salvageable progress: this
+                # rung cannot even complete 8 sweeps here -- degrade.
+                sys.stderr.write(
+                    f"[bench] rung {rung_idx}: no progress twice; degrading\n"
+                )
+                break
     sys.stderr.write("[bench] no rung succeeded within the deadline\n")
     return 1
 

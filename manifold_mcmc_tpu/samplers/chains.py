@@ -528,7 +528,7 @@ def _concat_sweep_chunks(chunks):
 _TRANSIENT_FAULT_MARKERS = ("RESOURCE_EXHAUSTED",)
 
 
-def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0):
+def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0, deadline_ts=None):
     """Run one host-loop dispatch unit, retrying transient backend faults.
 
     ``fn`` must be a PURE unit: a closure over live host references whose
@@ -546,6 +546,13 @@ def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0):
     before re-running, so the retry reloads just the programs ``fn``
     actually dispatches; re-tracing is repaid from the persistent compile
     cache.
+
+    ``deadline_ts`` (absolute ``time.time()`` seconds; default from env
+    ``MMT_RETRY_DEADLINE_TS``) caps the total backoff: a sleep that would
+    end past the deadline is not taken -- the fault is re-raised instead,
+    so a deadline-bounded caller (bench.py's child) fails fast with the
+    real error rather than sleeping through its budget (up to 465 s of
+    blind backoff otherwise; round-2 BENCH failure mode).
     """
     import gc as _gc
     import os as _os_env
@@ -553,6 +560,9 @@ def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0):
 
     if _os_env.environ.get("MMT_NO_RETRY"):  # debug aid: fail fast, full trace
         max_tries = 1
+    if deadline_ts is None:
+        env_dl = _os_env.environ.get("MMT_RETRY_DEADLINE_TS")
+        deadline_ts = float(env_dl) if env_dl else None
     for attempt in range(max_tries):
         try:
             out = fn()
@@ -564,6 +574,8 @@ def retry_transient(fn, what="dispatch", max_tries=6, base_delay=15.0):
             if not transient or attempt == max_tries - 1:
                 raise
             delay = base_delay * (2.0**attempt)
+            if deadline_ts is not None and _time.time() + delay > deadline_ts:
+                raise
             evict = attempt >= 1
             print(
                 f"[host-loop] transient backend fault in {what} "
@@ -1689,10 +1701,21 @@ def sample_chmc_chains_host_loop(
     # ------------------------- resume / fresh start -------------------- #
     start_sweep = 0
     trace_chunks, stats_chunks = [], []
+    # Per-sweep wall times measured by EARLIER processes that wrote this
+    # checkpoint, already cleaned of each process's first sweep (which pays
+    # the executable load/compile).  Persisting them makes the checkpoint
+    # self-describing for timing: a watchdog salvaging a result from the
+    # file alone (bench.py) can compute the per-sweep rate without having
+    # observed any dispatch itself.
+    prev_clean_main_times, prev_clean_warm_times = [], []
     counters = jax.vmap(lambda _: _init_counters())(jnp.arange(num_chains))
     if checkpoint_path and _os.path.exists(checkpoint_path):
         with onp.load(checkpoint_path, allow_pickle=True) as ck:
             start_sweep = int(ck["sweep"])
+            if "clean_main_times" in ck.files:
+                prev_clean_main_times = list(ck["clean_main_times"])
+            if "clean_warm_times" in ck.files:
+                prev_clean_warm_times = list(ck["clean_warm_times"])
             q = jnp.asarray(ck["q"])
             x_obs = jnp.asarray(ck["x_obs"])
             keys = jnp.asarray(ck["keys"])
@@ -1775,6 +1798,12 @@ def sample_chmc_chains_host_loop(
             payload[f"da_{f}"] = onp.asarray(getattr(da, f))
         for k, v in counters.items():
             payload[f"counter_{k}"] = onp.asarray(v)
+        payload["clean_main_times"] = onp.asarray(
+            prev_clean_main_times + main_times[1:], onp.float64
+        )
+        payload["clean_warm_times"] = onp.asarray(
+            prev_clean_warm_times + warm_times[1:], onp.float64
+        )
         tmp = checkpoint_path + ".tmp.npz"
         onp.savez(tmp, **payload)
         _os.replace(tmp, checkpoint_path)

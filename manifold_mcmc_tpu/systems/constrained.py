@@ -494,8 +494,11 @@ class ConditionedDiffusionConstrainedSystem:
         Measured outcome at the headline config (1024 chains, T=100/S=25/R=5,
         depth 6, f32, one v5e): iterations drop to 3.1/step (vs 5.5
         quasi-Newton) but the per-round Jacobian + LU makes pooled step
-        latency 7.6x WORSE (``benchmarks/results/
-        ab_hybrid_solver_1024c_d6_2026-08-20.json``), so the benchmark and
+        latency 7.6x WORSE (see
+        ``benchmarks/results/ab_hybrid_solver_1024c_d6_2026-08-20.json``;
+        its ESS figures come from a partial 28/32-iteration single-seed run
+        and are indicative only -- the latency gap is the verdict), so the
+        benchmark and
         experiment default stays ``quasi-newton``; this solver is for
         small-batch / hard-projection regimes where stale-Gram iteration
         counts blow up.

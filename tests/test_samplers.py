@@ -562,6 +562,12 @@ def test_host_loop_checkpoint_resume(rng, tmp_path):
         assert int(ck["sweep"]) == 4
         # No object arrays in the checkpoint.
         assert all(ck[k].dtype != object for k in ck.files)
+        # Self-describing timing for checkpoint-only salvage (bench.py
+        # watchdog): per-sweep wall times minus each process's first sweep
+        # (2 main sweeps ran here, the first pays compile and is excluded).
+        assert ck["clean_main_times"].shape == (1,)
+        assert float(ck["clean_main_times"][0]) > 0
+        assert ck["clean_warm_times"].shape == (1,)
 
     resumed = sample_chmc_chains_host_loop(
         system,
