@@ -580,6 +580,13 @@ def main():
         # dual averaging converging on the chip); the bench keeps the
         # amortised tuned point so its budget is spent measuring.
         init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23)),
+        # Warm-up studies only (MMT_BENCH_WARM > 0): fraction of the probed
+        # per-chain failure-cliff step size that dual averaging may not
+        # exceed (host-loop default 0.5; 0.25 keeps the mu-anchor excursion
+        # clear of the cliff).
+        step_size_cliff_safety=float(
+            os.environ.get("MMT_BENCH_CLIFF_SAFETY", 0.5)
+        ),
     )
 
     t_run = time.time()

@@ -43,11 +43,12 @@ def configs():
     # shrinks with R to bound one dispatch's duration.
     for R, depth in ((2, 6), (5, 6), (10, 5), (20, 4), (50, 3)):
         out.append({**CANON, "R": R, "depth": depth, "axis": "R"})
-    # S sweep (reference grid {25,50,100,200,400}).
-    for S in (25, 50, 100, 200):
+    # S sweep (reference grid {25,50,100,200,400}; truncated to the chip
+    # budget -- each new shape costs a cold tunnel compile).
+    for S in (25, 50, 100):
         out.append({**CANON, "S": S, "axis": "S"})
-    # T sweep (reference grid {25,50,100,200,400}).
-    for T in (25, 50, 100, 200):
+    # T sweep (reference grid {25,50,100,200,400}; ditto).
+    for T in (25, 50, 100):
         out.append({**CANON, "T": T, "axis": "T"})
     return out
 
