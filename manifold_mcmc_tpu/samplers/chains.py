@@ -1815,14 +1815,19 @@ def sample_chmc_chains_host_loop(
     def out_of_time():
         """True when the next sweep would overrun the deadline.
 
-        Budgets the *next* sweep at the cost of the most recent one (compile
-        skews the first, so the estimate is conservative only there) plus a
-        checkpoint-save allowance.
+        Budgets the *next* sweep at the MINIMUM of the last few observed
+        sweeps plus a checkpoint-save allowance: each process's first sweep
+        embeds its executable compile/load (often 100x a steady-state
+        sweep), and budgeting from that outlier made the loop stop ~10
+        minutes early after a long cold compile (measured in the round-3
+        scaling study).  The minimum is the best steady-state estimate; if
+        it still under-predicts, the caller's watchdog/salvage path covers
+        the overrun.
         """
         if deadline_ts is None:
             return False
-        recent = warm_times[-1:] + main_times[-1:]
-        per_sweep = max(recent) if recent else 30.0
+        recent = (warm_times + main_times)[-3:]
+        per_sweep = min(recent) if recent else 30.0
         return _time.time() + 1.1 * per_sweep + 15.0 > deadline_ts
 
     warm_done = min(start_sweep, n_warm_sweeps)
