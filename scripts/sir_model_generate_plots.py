@@ -109,10 +109,27 @@ def load_param_draws(exp_dir, p):
     return np.concatenate([np.load(f) for f in files])
 
 
+def dirs_with_traces(sub):
+    """Per algorithm, the first experiment dir that actually holds traces.
+
+    Multiple runs can share a sigma_y (e.g. a short evidence run whose
+    traces were pruned next to the full canonical run); draw-level plots
+    must use one that kept its ``trace_*.npy`` files, else the figure is
+    silently empty (the round-2 placeholder-figure failure mode).
+    """
+    out = {}
+    for a, s in sub.groupby("algorithm"):
+        for d in s["dir"]:
+            if glob.glob(os.path.join(d, "trace_*.npy")):
+                out[a] = d
+                break
+    return out
+
+
 # Posterior histogram overlays: CHMC vs HMC at each noise level (the two
 # independent algorithms must agree -- cross-validation of the posterior).
 for sigma_y, sub in df.groupby("sigma_y"):
-    dirs = {a: s["dir"].iloc[0] for a, s in sub.groupby("algorithm")}
+    dirs = dirs_with_traces(sub)
     if len(dirs) < 2:
         continue
     fig, axes = plt.subplots(1, len(args.params), figsize=(3 * len(args.params), 2.8))
@@ -134,7 +151,7 @@ for sigma_y, sub in df.groupby("sigma_y"):
 # heavy-tailed params are log-transformed there -- mirrored via dict below).
 log_transform = {"γ", "ϵ", "σ_y"}
 for sigma_y, sub in df.groupby("sigma_y"):
-    dirs = {a: s["dir"].iloc[0] for a, s in sub.groupby("algorithm")}
+    dirs = dirs_with_traces(sub)
     if not dirs:
         continue
     k = len(args.params)
