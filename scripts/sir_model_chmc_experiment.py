@@ -63,27 +63,37 @@ data = np.load(
     os.path.join(os.path.dirname(__file__), "data", "sir_model_boarding_school_data.npz")
 )
 obs_interval = float(data["obs_interval"])
-y_seq = jnp.asarray(data["y_seq"], dtype)
 
 dim_u = sir.dim_z + (1 if infer_sigma_y else 0)
 generate_sigma = sir.generate_sigma_y if infer_sigma_y else sigma_y
 
-system = ConditionedDiffusionConstrainedSystem(
-    obs_interval=obs_interval,
-    num_steps_per_obs=args.num_steps_per_obs,
-    num_obs_per_subseq=args.num_obs_per_subseq,
-    y_seq=y_seq,
-    dim_u=dim_u,
-    dim_x=sir.dim_x,
-    dim_v=sir.dim_v,
-    forward_func=sir.forward_func,
-    generate_x_0=sir.generate_x_0,
-    generate_z=sir.generate_z,
-    obs_func=sir.obs_func,
-    generate_sigma=generate_sigma,
-    use_gaussian_splitting=args.splitting == "gaussian",
-    dim_v_0=sir.dim_v_0,
-)
+# Data and system arrays live on the HOST CPU backend: the initialisation
+# phase below runs entirely on CPU, and an accelerator-resident y_seq
+# would be re-fetched through the tunnel by every init computation that
+# closes over the system -- each such device->host transfer is a wedge
+# opportunity on a flaky tunnel (observed: three SIR launches hung
+# mid-init on a lost transfer, connection-reader thread parked forever).
+# The sampling phase is unaffected: its inputs are explicitly device_put
+# to the accelerator, and jitted sweeps bake the small closed-over arrays
+# as executable constants.
+with utils.cpu_init_scope():
+    y_seq = jnp.asarray(data["y_seq"], dtype)
+    system = ConditionedDiffusionConstrainedSystem(
+        obs_interval=obs_interval,
+        num_steps_per_obs=args.num_steps_per_obs,
+        num_obs_per_subseq=args.num_obs_per_subseq,
+        y_seq=y_seq,
+        dim_u=dim_u,
+        dim_x=sir.dim_x,
+        dim_v=sir.dim_v,
+        forward_func=sir.forward_func,
+        generate_x_0=sir.generate_x_0,
+        generate_z=sir.generate_z,
+        obs_func=sir.obs_func,
+        generate_sigma=generate_sigma,
+        use_gaussian_splitting=args.splitting == "gaussian",
+        dim_v_0=sir.dim_v_0,
+    )
 
 
 def trace_func(q):
@@ -108,23 +118,27 @@ if resumed is None:
         )
 else:
     q_init, x_obs_init = resumed
-q_init, x_obs_init = jax.device_put(
-    (q_init.astype(dtype), x_obs_init.astype(dtype)), jax.devices()[0]
-)
 # SIR observations are daily infected counts (up to ~300), so the f32
 # constraint tolerance must be relative to that scale — see
 # utils/config.default_tolerances.
 obs_scale = float(jnp.abs(y_seq).max())
 tols = utils.resolve_chmc_tolerances(args, obs_scale=obs_scale)
 if resumed is None:
-    c_val = float(
-        jnp.abs(
-            jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
-        ).max()
-    )
+    # Pre-flight on-manifold check on the CPU backend, BEFORE the single
+    # explicit transfer to the accelerator (the only tunnel touch of the
+    # whole init phase).
+    with utils.cpu_init_scope():
+        c_val = float(
+            jnp.abs(
+                jax.vmap(lambda q, x: system.constr(q, x, 0))(q_init, x_obs_init)
+            ).max()
+        )
     assert c_val < tols["constraint_tol"], (
         f"init off manifold: max|c|={c_val:.2e} vs tol {tols['constraint_tol']:.2e}"
     )
+q_init, x_obs_init = jax.device_put(
+    (q_init.astype(dtype), x_obs_init.astype(dtype)), jax.devices()[0]
+)
 
 summary_vars = ["β", "γ", "ζ", "ϵ", "α_0"] + (["σ_y"] if infer_sigma_y else [])
 summary = utils.run_chmc_experiment(

@@ -59,7 +59,11 @@ data = np.load(
     os.path.join(os.path.dirname(__file__), "data", "sir_model_boarding_school_data.npz")
 )
 obs_interval = float(data["obs_interval"])
-y_seq = jnp.asarray(data["y_seq"], dtype)
+# Host-CPU-resident data: the CPU-scoped init below otherwise re-fetches an
+# accelerator-resident y_seq through the tunnel (a wedge opportunity per
+# transfer on flaky runtimes -- see the CHMC script's note).
+with utils.cpu_init_scope():
+    y_seq = jnp.asarray(data["y_seq"], dtype)
 
 dim_u = sir.dim_z + (1 if infer_sigma_y else 0)
 generate_sigma = sir.generate_sigma_y if infer_sigma_y else sigma_y
@@ -110,21 +114,22 @@ from manifold_mcmc_tpu.systems.constrained import (  # noqa: E402
     ConditionedDiffusionConstrainedSystem,
 )
 
-init_system = ConditionedDiffusionConstrainedSystem(
-    obs_interval=obs_interval,
-    num_steps_per_obs=args.num_steps_per_obs,
-    num_obs_per_subseq=None,
-    y_seq=y_seq,
-    dim_u=dim_u,
-    dim_x=sir.dim_x,
-    dim_v=sir.dim_v,
-    forward_func=sir.forward_func,
-    generate_x_0=sir.generate_x_0,
-    generate_z=sir.generate_z,
-    obs_func=sir.obs_func,
-    generate_sigma=generate_sigma,
-    dim_v_0=sir.dim_v_0,
-)
+with utils.cpu_init_scope():
+    init_system = ConditionedDiffusionConstrainedSystem(
+        obs_interval=obs_interval,
+        num_steps_per_obs=args.num_steps_per_obs,
+        num_obs_per_subseq=None,
+        y_seq=y_seq,
+        dim_u=dim_u,
+        dim_x=sir.dim_x,
+        dim_v=sir.dim_v,
+        forward_func=sir.forward_func,
+        generate_x_0=sir.generate_x_0,
+        generate_z=sir.generate_z,
+        obs_func=sir.obs_func,
+        generate_sigma=generate_sigma,
+        dim_v_0=sir.dim_v_0,
+    )
 # On resume the host-loop driver restores chain state from the checkpoint,
 # so the expensive fleet init is skipped (the saved q is already the
 # dim_q-truncated HMC state).
