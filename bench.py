@@ -57,13 +57,22 @@ that burned its whole budget and reported nothing):
    printed just before the kill.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras},
-including FLOP/roofline accounting (est_flops_per_step from the committed
+including the convergence gate (r_hat_max over the four parameters),
+BOTH baseline anchorings (vs_baseline against the reconciled sandbox CPU
+tau_step -- see docs/baseline_reconciliation.md -- and
+vs_paper_annotation_tau_step / vs_paper_tau_eff_band against the
+reference's own published 1.2e-5*R^2 annotation and tau_eff axis band),
+and FLOP/roofline accounting (est_flops_per_step from the committed
 XLA cost-analysis table ``benchmarks/results/flops_canonical.json``,
-achieved_flops_per_sec, mfu_vs_v5e_bf16_peak, binding regime).
+achieved_flops_per_sec, mfu_vs_v5e_bf16_peak, binding regime checked
+against both the MXU and HBM rooflines).  When the first rung lands with
+enough budget left, the measurement is replicated at a second seed into
+``benchmarks/results/bench_second_seed_s*.json`` (stdout stays one line).
 
 Env overrides: MMT_BENCH_CHAINS/WARM/MAIN/T/S/R, MMT_BENCH_X64,
 MMT_BENCH_DRIVER (host|ingraph), MMT_BENCH_DEADLINE, MMT_BENCH_RUNG,
-MMT_BENCH_CHILD_TIMEOUT, MMT_BENCH_SPLITTING (standard|gaussian).
+MMT_BENCH_CHILD_TIMEOUT, MMT_BENCH_SPLITTING (standard|gaussian),
+MMT_BENCH_SECOND_SEED=0 (disable the replicate).
 """
 
 import faulthandler
@@ -225,24 +234,38 @@ def _mfu_fields(flops_tab, n_bar, n_steps_total, total_time):
         "achieved_flops_per_sec": float(f"{achieved:.4g}"),
         "mfu_vs_v5e_bf16_peak": float(f"{mfu:.3e}"),
     }
+    bw_frac = None
     if est_bytes is not None:
         # Bytes-accessed from the CPU cost analysis counts every HLO op's
         # operand traffic WITHOUT fusion -- an upper bound on true HBM
         # traffic (XLA:TPU fuses most elementwise chains into their
         # producers), labelled accordingly.
         bw = est_bytes * n_steps_total / total_time
+        bw_frac = bw / V5E_HBM_BYTES_PER_SEC
         out["est_bytes_per_step_unfused_upper"] = float(f"{est_bytes:.4g}")
         out["achieved_bytes_per_sec_unfused_upper"] = float(f"{bw:.4g}")
-    # Which resource binds?  With MXU utilisation far below peak (and true
-    # HBM traffic below the unfused upper bound), the run is bound by
-    # per-dispatch latency (tunnel round trips + kernel-launch overheads on
-    # small batched linear algebra), not by a hardware roofline.
+    # Which resource binds?  Check BOTH rooflines before blaming dispatch
+    # latency: a run can sit far below MXU peak yet be genuinely
+    # HBM-bandwidth-bound.  Only when the unfused-upper-bound bandwidth is
+    # also well below the HBM peak is "dispatch latency" the right label
+    # (tunnel round trips + kernel-launch overheads on small batched linear
+    # algebra); with no bytes estimate the label is an explicit heuristic.
     if mfu > 0.3:
         out["binding_regime"] = "compute-bound (MXU)"
+    elif bw_frac is not None and bw_frac > 0.5:
+        out["binding_regime"] = (
+            f"HBM-bandwidth-bound: unfused-upper byte traffic at "
+            f"{bw_frac:.0%} of v5e HBM peak while MXU sits far below peak"
+        )
+    elif bw_frac is not None:
+        out["binding_regime"] = (
+            "dispatch-latency-bound: both rooflines idle (MXU "
+            f"{mfu:.1e} of peak, HBM <= {bw_frac:.0%} of peak even unfused)"
+        )
     else:
         out["binding_regime"] = (
-            "dispatch-latency-bound: small batched linear algebra leaves "
-            "MXU utilisation far below peak"
+            "likely dispatch-latency-bound (heuristic: MFU far below peak; "
+            "no byte-traffic estimate available to rule out HBM)"
         )
     return out
 
@@ -269,10 +292,21 @@ def _compute_output(
     solver_iters_total = int(np.asarray(stats["n_solver_iters"]).sum())
     accept = float(np.asarray(stats["accept_stat"]).mean())
     ess = {name: diag.ess_bulk(traces[name]) for name in _TRACE_NAMES}
+    # Convergence gate for the ESS estimate: rank-normalised split-R-hat,
+    # max over the four parameters (reference gate: arviz summary r_hat,
+    # ``scripts/utils.py:368-381``; plots flag R-hat > 1.01).  A large value
+    # here means the pooled bulk-ESS is contaminated by the initialisation
+    # transient and the ess/s figure should be read with that caveat.
+    r_hat = {name: diag.split_rhat(traces[name]) for name in _TRACE_NAMES}
+    r_hat_max = float(max(r_hat.values()))
     min_ess = float(min(ess.values()))
     ess_per_sec = min_ess / total_time
     # Pooled per-constrained-leapfrog-step latency (reference tau_step,
-    # ``fhn_model_noiseless_obs_generate_plots.py:99-109``).
+    # ``fhn_model_noiseless_obs_generate_plots.py:99-109``: total MAIN-phase
+    # call time / total integrator steps).  ``total_time`` here is the
+    # main-phase time only -- median compile-free per-sweep wall times the
+    # number of main sweeps -- NOT the process wall clock; chain init and
+    # compile are reported separately (init_time_s, compile_and_warmup_time_s).
     step_latency = total_time / max(n_steps_total, 1)
     # Average Newton/quasi-Newton iterations per step (reference n-bar,
     # constr_calls / (2 * steps) analog).
@@ -297,6 +331,9 @@ def _compute_output(
         "baseline_kind": baseline_desc,
         "min_param_ess_bulk": round(min_ess, 1),
         "ess_bulk": {k: round(v, 1) for k, v in ess.items()},
+        "r_hat_max": round(r_hat_max, 4),
+        "r_hat": {k: round(v, 4) for k, v in r_hat.items()},
+        "main_phase_time_s": round(total_time, 2),
         "wall_time_s": round(total_time, 2),
         "pooled_step_latency_s": float(f"{step_latency:.3e}"),
         "avg_solver_iters_per_step": round(n_bar, 2),
@@ -321,6 +358,24 @@ def _compute_output(
         # band); a single bench invocation samples that distribution.
         "single_run_of_variance_band": True,
     }
+    # ----- anchoring to the reference's OWN published numbers ----------- #
+    # The reference hard-codes its observed CPU cost model in a figure
+    # annotation: tau_step = 1.2e-5 * R^2 s on the authors' single core
+    # (``fhn_model_noiseless_obs_generate_plots.py:147-148``), and its
+    # tau_eff (seconds per effective sample) axes span 0.1-10 s at the
+    # canonical config (``:216-217``), implying the authors' CPU achieved
+    # ~0.1-10 ESS/s.  These are this benchmark's paper-anchored
+    # denominators, reported alongside the sandbox-measured baseline (which
+    # is ~100x slower than the authors' machine; reconciliation in
+    # ``docs/baseline_reconciliation.md``).
+    paper_tau_step = 1.2e-5 * ctx["R"] * ctx["R"]
+    out["paper_tau_step_s"] = paper_tau_step
+    out["vs_paper_annotation_tau_step"] = round(paper_tau_step / step_latency, 2)
+    out["paper_ess_per_sec_band"] = [0.1, 10.0]
+    out["vs_paper_tau_eff_band"] = [
+        round(ess_per_sec / 10.0, 1),
+        round(ess_per_sec / 0.1, 1),
+    ]
     out.update(_mfu_fields(ctx["flops_tab"], n_bar, n_steps_total, total_time))
     out.update(extras)
     return out
@@ -641,18 +696,19 @@ def main():
                 )
                 return 3
             return 0  # watchdog already produced the outcome
-        main_times = result["timings"]["main_sweep_s"]
-        # Per-sweep cost estimated from THIS process's dispatches, excluding
-        # the first (it pays the executable load/compile); the total run time
-        # extrapolates that rate over every accumulated sweep (resumed sweeps
-        # executed at the same rate in an earlier process).
-        timed = main_times[1:] if len(main_times) > 1 else main_times
+        # Steady-state per-sweep cost: the accumulated compile-free sweep
+        # times across every process that contributed to this run (the host
+        # loop persists them in the checkpoint and returns the union), so a
+        # resume that dispatched zero or one fresh sweep still times from
+        # the earlier processes' measurements instead of dropping a complete
+        # checkpoint or timing from a lone compile-laden first sweep.
+        timed = list(result["timings"].get("clean_main_sweep_s", []))
         if not timed:
-            # Resumed a checkpoint that was already complete: no fresh sweep
-            # to time.  Fall back to warm-sweep cost (same program shape); if
-            # even that is absent the checkpoint is unusable for timing --
-            # drop it so the next attempt measures fresh.
-            timed = result["timings"]["warm_sweep_s"][1:]
+            main_times = result["timings"]["main_sweep_s"]
+            timed = main_times[1:] if len(main_times) > 1 else main_times
+        if not timed:
+            # Same program shape; warm sweeps are an acceptable stand-in.
+            timed = list(result["timings"].get("clean_warm_sweep_s", []))
         if not timed:
             if _claim_finish():
                 if os.path.exists(ckpt):
@@ -755,6 +811,42 @@ def _attempt(env, timeout_s):
     return line, proc.returncode
 
 
+def _maybe_second_seed(env, budget_left):
+    """Replicate the landed measurement at a second RNG seed, side-channel.
+
+    The driver contract is ONE stdout JSON line, already printed by the
+    caller; this replicate -- run only when the remaining budget can
+    plausibly fit a warm-cache rung (the compile cache is hot from the
+    first child) -- lands in ``benchmarks/results/`` for the variance
+    record instead of stdout.  Failures are logged and ignored: the
+    headline result is already out.
+    """
+    if os.environ.get("MMT_BENCH_SECOND_SEED", "1") != "1" or budget_left < 700:
+        return
+    env = dict(env)
+    env["MMT_BENCH_SEED"] = str(int(env.get("MMT_BENCH_SEED", "1")) + 1)
+    sys.stderr.write(
+        f"[bench] replicating at seed {env['MMT_BENCH_SEED']} "
+        f"({budget_left:.0f}s left)\n"
+    )
+    line, rc = _attempt(env, budget_left - 30)
+    if line is None:
+        sys.stderr.write(f"[bench] second-seed replicate failed (rc={rc})\n")
+        return
+    path = os.path.join(
+        _repo,
+        "benchmarks",
+        "results",
+        f"bench_second_seed_s{env['MMT_BENCH_SEED']}.json",
+    )
+    try:
+        with open(path, "w") as f:
+            f.write(line + "\n")
+        sys.stderr.write(f"[bench] second-seed replicate -> {path}\n")
+    except OSError as err:
+        sys.stderr.write(f"[bench] could not write replicate: {err!r}\n")
+
+
 def _run_ladder():
     """Walk the degradation ladder until one measurement lands.
 
@@ -810,6 +902,7 @@ def _run_ladder():
             line, rc = _attempt(env, budget)
             if line is not None:
                 print(line, flush=True)
+                _maybe_second_seed(env, remaining())
                 return 0
             if rc == 5 and attempt >= 1:
                 # Two watchdog fires with zero salvageable progress: this

@@ -1815,20 +1815,29 @@ def sample_chmc_chains_host_loop(
     def out_of_time():
         """True when the next sweep would overrun the deadline.
 
-        Budgets the *next* sweep at the MINIMUM of the last few observed
-        sweeps plus a checkpoint-save allowance: each process's first sweep
-        embeds its executable compile/load (often 100x a steady-state
-        sweep), and budgeting from that outlier made the loop stop ~10
-        minutes early after a long cold compile (measured in the round-3
-        scaling study).  The minimum is the best steady-state estimate; if
-        it still under-predicts, the caller's watchdog/salvage path covers
-        the overrun.
+        Budgets the *next* sweep from the MEDIAN of recent *non-first*
+        sweeps (each process's first warm/main sweep embeds its executable
+        compile/load, often 100x a steady-state sweep, and budgeting from
+        that outlier made the loop stop ~10 minutes early after a long cold
+        compile -- round-3 scaling study).  The median, unlike the minimum,
+        is robust against a single fast outlier defeating the deadline on a
+        slowing chip (the tunnelled runtime swings ~6x run-to-run); a 1.25x
+        safety factor covers residual drift, and the caller's
+        watchdog/salvage path covers any remaining overrun.  Clean sweep
+        times persisted by earlier processes of a resumed run seed the
+        estimate before this process has timed anything itself.
         """
         if deadline_ts is None:
             return False
-        recent = (warm_times + main_times)[-3:]
-        per_sweep = min(recent) if recent else 30.0
-        return _time.time() + 1.1 * per_sweep + 15.0 > deadline_ts
+        clean = (
+            prev_clean_warm_times
+            + warm_times[1:]
+            + prev_clean_main_times
+            + main_times[1:]
+        )
+        recent = clean[-5:] if clean else (warm_times + main_times)[-3:]
+        per_sweep = float(onp.median(recent)) if recent else 30.0
+        return _time.time() + 1.25 * per_sweep + 15.0 > deadline_ts
 
     warm_done = min(start_sweep, n_warm_sweeps)
     for sweep in range(warm_done, n_warm_sweeps):
@@ -1907,7 +1916,17 @@ def sample_chmc_chains_host_loop(
         "call_counters": counters,
         "traces": concat_chunks(trace_chunks),
         "stats": concat_chunks(stats_chunks),
-        "timings": {"warm_sweep_s": warm_times, "main_sweep_s": main_times},
+        "timings": {
+            "warm_sweep_s": warm_times,
+            "main_sweep_s": main_times,
+            # Accumulated compile-free per-sweep wall times across ALL
+            # processes that contributed to this run (resumed checkpoints
+            # persist theirs): the authoritative source for steady-state
+            # per-sweep cost, usable even when THIS process dispatched zero
+            # or one fresh sweep (bench.py resumed-checkpoint timing).
+            "clean_main_sweep_s": list(prev_clean_main_times) + main_times[1:],
+            "clean_warm_sweep_s": list(prev_clean_warm_times) + warm_times[1:],
+        },
         "n_warm_sweeps_done": warm_done,
         "n_main_sweeps_done": main_done,
         "n_warm_sweeps": n_warm_sweeps,

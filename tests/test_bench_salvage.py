@@ -88,6 +88,17 @@ def test_salvage_reconstructs_result(bench, tmp_path):
     assert out["avg_solver_iters_per_step"] == pytest.approx(5.0)
     assert out["num_main_iter_completed"] == 20
     assert out["value"] > 0 and np.isfinite(out["value"])
+    # Convergence gate + paper-anchored ratios (round-4 hygiene fields).
+    assert np.isfinite(out["r_hat_max"]) and out["r_hat_max"] > 0
+    assert set(out["r_hat"]) == {"sigma", "eps", "gamma", "beta"}
+    assert out["paper_tau_step_s"] == pytest.approx(1.2e-5 * 25)
+    assert out["vs_paper_annotation_tau_step"] == pytest.approx(
+        1.2e-5 * 25 / (20.0 / 1280), abs=0.01
+    )
+    lo, hi = out["vs_paper_tau_eff_band"]
+    assert lo == pytest.approx(out["value"] / 10.0, abs=0.06)
+    assert hi == pytest.approx(out["value"] / 0.1, abs=0.06)
+    assert out["main_phase_time_s"] == out["wall_time_s"]
 
 
 def test_salvage_refuses_below_floor(bench, tmp_path):

@@ -23,6 +23,79 @@ def test_mesh_and_sharding_helpers():
         shard_chain_inputs(mesh, jnp.zeros((5, 3)))
 
 
+def test_sharded_chmc_transition_matches_single_device(rng):
+    """Fast-tier GSPMD equality gate (round-3 verdict item 10): one jitted
+    CHMC sub-iteration -- the exact transition both drivers wrap
+    (``_chmc_sweep_fns``: momentum resample, dynamic-multinomial tree with
+    projection solves + reversibility checks, x_obs refresh) -- must agree
+    between an unsharded chain batch and the same batch sharded across the
+    8-device mesh.  Compiles one small program twice (seconds), unlike the
+    full-driver test below (minutes, slow tier).
+
+    Equality is to 1e-12 on positions and continuous stats and EXACT on
+    integer/boolean stats: per-shard XLA compilation (batch 1 per device vs
+    batch 8 on one) rounds batched linear algebra 1-2 ulp differently
+    (measured), so bitwise equality across shard sizes is unattainable; a
+    single transition bounds the chaotic amplification so 1e-12 is a real
+    gate (any sharding bug -- permuted chains, wrong collective, dropped
+    shard -- fails it by many orders of magnitude).
+    """
+    from manifold_mcmc_tpu.samplers.chains import _chmc_sweep_fns, _split_keys
+    from manifold_mcmc_tpu.systems.metrics import IdentityMetric
+    from test_samplers import analytic_conditional, build_linear_system
+
+    y_seq = jnp.asarray(rng.standard_normal((4, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    num_chains = 8
+    _, _, q_star = analytic_conditional(y_seq)
+    q_init = jnp.tile(jnp.asarray(q_star)[None], (num_chains, 1))
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+
+    fns = _chmc_sweep_fns(
+        system,
+        IdentityMetric(),
+        dict(
+            projection_solver="newton",
+            n_inner_step=1,
+            reverse_check_tol=2e-8,
+            constraint_tol=1e-9,
+            position_tol=1e-8,
+            divergence_tol=1e10,
+            max_iters=50,
+        ),
+        max_tree_depth=2,
+        max_delta_h=1000.0,
+        adapt_stat_target=0.8,
+        step_size_reg_coefficient=0.05,
+        trace_func=lambda q: {},
+    )
+
+    @jax.jit
+    def one_transition(q, x_obs):
+        keys = _split_keys(jax.random.PRNGKey(3), num_chains)
+        step = jnp.asarray(0.1, q.dtype)
+        return jax.vmap(
+            lambda q1, x1, k1: fns["sub_iteration"](q1, x1, 0, k1, step)
+        )(q, x_obs, keys)
+
+    plain = one_transition(q_init, x_obs_init)
+
+    mesh = make_chain_mesh()
+    q_sh, x_sh = shard_chain_inputs(mesh, q_init, x_obs_init)
+    sharded = one_transition(q_sh, x_sh)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(plain), jax.tree_util.tree_leaves(sharded)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        if np.issubdtype(a.dtype, np.inexact):
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-12)
+        else:
+            np.testing.assert_array_equal(a, b)
+    # The sharded outputs really were distributed across the mesh.
+    assert len(sharded[0].sharding.device_set) == 8
+
+
 @pytest.mark.slow
 def test_sharded_chmc_matches_single_device(rng):
     # The jitted sampler must partition over the chain mesh under GSPMD and
