@@ -681,6 +681,9 @@ def main():
             checkpoint_every=8,
             progress_every=8,
             deadline_ts=deadline_ts - 20.0 if np.isfinite(deadline_ts) else None,
+            # Warm-up studies: dual-average on the fleet-pooled accept
+            # statistic (near-noiseless at 1024 chains) instead of per-chain.
+            pooled_step_adaptation=os.environ.get("MMT_BENCH_POOLED_DA") == "1",
             **common,
         )
         jax.block_until_ready(result["final_pos"])

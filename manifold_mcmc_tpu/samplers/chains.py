@@ -1437,6 +1437,7 @@ def sample_chmc_chains_host_loop(
     progress_every=0,
     max_steps_per_dispatch=None,
     deadline_ts=None,
+    pooled_step_adaptation=False,
 ):
     """CHMC driver with a *host-side* sweep loop and crash-durable checkpoints.
 
@@ -1475,6 +1476,19 @@ def sample_chmc_chains_host_loop(
     True in the result) instead of being killed mid-flight with nothing --
     callers compute diagnostics on the completed prefix and a later
     invocation resumes from the checkpoint.
+
+    ``pooled_step_adaptation=True`` dual-averages on the CROSS-CHAIN POOLED
+    accept statistic instead of per-chain: every warm-up sub-iteration
+    updates one shared step size from ``mean(accept_stat)`` over the whole
+    fleet.  This is a fleet-scale variant the reference (4 serial chains)
+    never had: at 1024 chains the per-iteration accept estimate is nearly
+    noiseless (Monte-Carlo error shrinks ~1/sqrt(num_chains)), so the
+    adaptation trajectory is deterministic-like and a single unlucky
+    chain's zero-accept run cannot collapse the shared step.  The
+    per-chain cliff clamp (``step_size_cliff_safety``) composes with it:
+    pooled mode clamps at the FLEET MINIMUM cliff (one shared bound).
+    Checkpoint schema is unchanged -- the per-chain DualAveragingState rows
+    simply stay identical.
 
     The result includes ``timings``: wall seconds per warm-up / main sweep
     (first element of each list includes that executable's compile), plus
@@ -1528,10 +1542,34 @@ def sample_chmc_chains_host_loop(
         return all_keys[:, 0], all_keys[:, 1:]
 
     def make_warm_sub(p):
-        def fn(q, x_obs, da, sub_key):
-            return jax.vmap(
-                lambda q, x_obs, da, k: warm_sub_iteration(q, x_obs, da, k, p)
-            )(q, x_obs, da, sub_key)
+        if pooled_step_adaptation:
+            sub_iteration = fns["sub_iteration"]
+
+            def fn(q, x_obs, da, sub_key):
+                # All DA rows are identical in pooled mode; every chain runs
+                # the shared current step, then one update from the fleet-
+                # pooled accept statistic is broadcast back to all rows.
+                step = jnp.exp(da.log_step[0])
+                q, x_obs, stats = jax.vmap(
+                    lambda q1, x1, k1: sub_iteration(q1, x1, p, k1, step)
+                )(q, x_obs, sub_key)
+                pooled_accept = jnp.mean(stats["accept_stat"])
+                da = jax.vmap(
+                    lambda d: ad.dual_averaging_update(
+                        d,
+                        pooled_accept,
+                        adapt_stat_target=adapt_stat_target,
+                        reg_coefficient=step_size_reg_coefficient,
+                    )
+                )(da)
+                return q, x_obs, da
+
+        else:
+
+            def fn(q, x_obs, da, sub_key):
+                return jax.vmap(
+                    lambda q, x_obs, da, k: warm_sub_iteration(q, x_obs, da, k, p)
+                )(q, x_obs, da, sub_key)
 
         return jax.jit(fn)
 
@@ -1631,6 +1669,10 @@ def sample_chmc_chains_host_loop(
 
         @jax.jit
         def _warm_post(da, stats):
+            accept = stats["accept_stat"]
+            if pooled_step_adaptation:
+                # Fleet-pooled statistic broadcast to the (identical) rows.
+                accept = jnp.broadcast_to(jnp.mean(accept), accept.shape)
             return jax.vmap(
                 lambda d, a: ad.dual_averaging_update(
                     d,
@@ -1638,7 +1680,7 @@ def sample_chmc_chains_host_loop(
                     adapt_stat_target=adapt_stat_target,
                     reg_coefficient=step_size_reg_coefficient,
                 )
-            )(da, stats["accept_stat"])
+            )(da, accept)
 
         @jax.jit
         def _main_post(q1, counters, stats):
@@ -1775,6 +1817,9 @@ def sample_chmc_chains_host_loop(
                 lambda: _cliff_probe(q, x_obs, keys, init_eps),
                 what="cliff probe",
             )
+            if pooled_step_adaptation:
+                # One shared step bound: the fleet obeys the lowest cliff.
+                cliff = jnp.full_like(cliff, jnp.min(cliff))
             da = jax.vmap(ad.dual_averaging_init)(init_eps, cliff)
         step_size = jnp.asarray(init_step_size, dtype)
 

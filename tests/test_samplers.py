@@ -520,6 +520,69 @@ def test_chmc_host_loop_chunked_matches_unchunked(rng):
     )
 
 
+def test_chmc_host_loop_pooled_step_adaptation(rng):
+    """``pooled_step_adaptation=True`` dual-averages one shared step from the
+    fleet-pooled accept statistic.  Invariants: (a) chunked and unchunked
+    dispatch produce identical results in pooled mode too (same RNG stream);
+    (b) the pooled run adapts to a finite positive step; (c) pooled and
+    per-chain adaptation genuinely differ (different update statistic) while
+    consuming the same trajectory RNG."""
+    from manifold_mcmc_tpu.samplers.chains import sample_chmc_chains_host_loop
+
+    num_obs = 4
+    y_seq = jnp.asarray(rng.standard_normal((num_obs, 1)) * 0.7)
+    system = build_linear_system(y_seq, 2)
+    _, _, q_star = analytic_conditional(y_seq)
+    num_chains = 4
+    q_init = jnp.broadcast_to(jnp.asarray(q_star), (num_chains, len(q_star))) + 0.0
+    x_obs_init = jax.vmap(system.generate_x_obs_seq)(q_init)
+
+    kwargs = dict(
+        num_warm_up_iter=6,
+        num_main_iter=4,
+        max_tree_depth=3,
+        init_step_size=0.4,
+        step_size_cliff_safety=None,
+    )
+    r_pooled = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(7),
+        pooled_step_adaptation=True,
+        **kwargs,
+    )
+    r_pooled_chunked = sample_chmc_chains_host_loop(
+        system,
+        q_init,
+        x_obs_init,
+        jax.random.PRNGKey(7),
+        pooled_step_adaptation=True,
+        max_steps_per_dispatch=3,
+        **kwargs,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_pooled["final_pos"]),
+        np.asarray(r_pooled_chunked["final_pos"]),
+        rtol=1e-12,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        float(r_pooled["final_step_size"]),
+        float(r_pooled_chunked["final_step_size"]),
+        rtol=1e-12,
+    )
+    eps = float(r_pooled["final_step_size"])
+    assert np.isfinite(eps) and eps > 0
+    r_perchain = sample_chmc_chains_host_loop(
+        system, q_init, x_obs_init, jax.random.PRNGKey(7), **kwargs
+    )
+    # Same warm-up trajectories start identically but per-chain DA steps
+    # diverge from the shared pooled step after the first update; the final
+    # smoothed averages must therefore differ (different statistic).
+    assert float(r_perchain["final_step_size"]) != pytest.approx(eps, rel=1e-9)
+
+
 @pytest.mark.slow
 def test_host_loop_checkpoint_resume(rng, tmp_path):
     """Killing the host loop mid-run and resuming from its .npz checkpoint
