@@ -136,6 +136,15 @@ def main():
             (logdet_n, (jac_n, chol_n)), grad_n = system.grad_log_det_sqrt_gram(
                 res.pos, x_o, metric, partition
             )
+            # Project onto the NEW point's cotangent space BEFORE the reverse
+            # flow -- the integrator does (integrators.py step: project_mom at
+            # the last inner step precedes the reversibility flow); flowing
+            # back with the unprojected momentum's normal-space component
+            # lands off the start and fails every reversibility check (the
+            # bug in this probe's first committed run).
+            mom_n = system.project_onto_cotangent_space(
+                mom_n, jac_n, chol_n, metric
+            )
             pos_b, _ = system.h2_flow(res.pos, mom_n, -dt, metric)
             res_b = solve(pos_b, jac_n, chol_n, -dt, x_o)
             rev_ok = (

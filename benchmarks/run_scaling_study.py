@@ -38,18 +38,25 @@ CANON = dict(chains=256, T=100, S=25, R=5, depth=6, warm=0, main=24)
 
 def configs():
     out = []
-    # R sweep (reference grid {2,5,10,20,50,100}; 100 omitted: a single
-    # unblocked Gram at T=100 exceeds the tunnel execution budget).  Depth
-    # shrinks with R to bound one dispatch's duration.
+    # R sweep (full reference grid {2,5,10,20,50,100},
+    # ``run_fhn_model_noiseless_obs_experiments.sh:33-115``).  Depth shrinks
+    # with R to bound one dispatch's duration; R=100 (the single unblocked
+    # Gram over all T=100 observations) additionally drops to 64 chains --
+    # at 256 chains its solver while_loop exceeded the tunnelled worker's
+    # execution budget in round 3.
     for R, depth in ((2, 6), (5, 6), (10, 5), (20, 4), (50, 3)):
         out.append({**CANON, "R": R, "depth": depth, "axis": "R"})
-    # S sweep (reference grid {25,50,100,200,400}; truncated to the chip
-    # budget -- each new shape costs a cold tunnel compile).
-    for S in (25, 50, 100):
-        out.append({**CANON, "S": S, "axis": "S"})
-    # T sweep (reference grid {25,50,100,200,400}; ditto).
-    for T in (25, 50, 100):
-        out.append({**CANON, "T": T, "axis": "T"})
+    out.append({**CANON, "R": 100, "depth": 3, "chains": 64, "axis": "R"})
+    # S sweep (full reference grid {25,50,100,200,400}).  Step cost grows
+    # ~linearly in S and the cross-chain solver tail inflates it further,
+    # so depth shrinks to keep one sub-iteration under the execution
+    # watchdog.
+    for S, depth in ((25, 6), (50, 6), (100, 6), (200, 4), (400, 3)):
+        out.append({**CANON, "S": S, "depth": depth, "axis": "S"})
+    # T sweep (full reference grid {25,50,100,200,400}); cost grows with the
+    # number of vmapped middle blocks.
+    for T, depth in ((25, 6), (50, 6), (100, 6), (200, 5), (400, 4)):
+        out.append({**CANON, "T": T, "depth": depth, "axis": "T"})
     return out
 
 
