@@ -30,6 +30,9 @@ sys.path.insert(0, _repo)
 sys.path.insert(0, os.path.join(_repo, "scripts"))
 jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# bf16-default matmuls on TPU break f32 tolerance contracts (see
+# probe_solver_tail.py); match the experiment CLIs / bench.py.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402

@@ -30,6 +30,12 @@ _repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _repo)
 jax.config.update("jax_compilation_cache_dir", os.path.join(_repo, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+# Match bench.py's precision: on TPU the default matmul precision runs
+# bf16-input passes whose ~1e-3 error exceeds the f32 reverse-check
+# tolerance (2e-4) and flags essentially every step non-reversible
+# (measured in this probe's first two runs: ok_rate 1.7% vs the real
+# sampler's 0.83 mean accept under "highest").
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
