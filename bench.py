@@ -503,7 +503,15 @@ def main():
 
     solver = os.environ.get("MMT_BENCH_SOLVER", "quasi-newton")
     max_tree_depth = int(os.environ.get("MMT_BENCH_MAX_TREE_DEPTH", 8))
-    solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 50))
+    # Solver-iteration cap 24 is the measured optimum at the tuned config
+    # (round-4 A/B, benchmarks/results/ab_depth_cap.json): the per-solve
+    # iteration distribution is bimodal (p90 <= 13 plus a ~3-5% never-
+    # converging tail that pegs at ANY cap -- solver_tail_probe JSON), so
+    # cap 24 cuts the vmapped while_loop's fleet-max cost 1.41x while
+    # keeping accept (0.839 vs 0.832) and bulk-ESS (within 3%): 28.1 vs
+    # 19.4 ess/s.  Cap 16 truncates the p90..16 bulk and loses (round-2
+    # measurement: 7 ess/s).
+    solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 24))
     # The checkpoint key must pin the FULL run configuration: resuming a
     # checkpoint from a different rung (or an older code version) would
     # silently skip sweeps or load an incompatible trace layout.
@@ -615,11 +623,11 @@ def main():
         max_tree_depth=max_tree_depth,
         # Under vmap the projection while_loop runs to the MAX iteration
         # count across all chains, so the batched step's wall time follows
-        # the cross-chain tail of solver iterations.  Capping the iterations
-        # (tried at 16) cuts that tail but truncates ~1/3 of trajectories
-        # (a transition makes ~2*2^depth projection solves, so even a 0.3%
-        # per-solve tail probability compounds) and measurably REDUCES
-        # ESS/sec -- the tail is intrinsic; keep the reference's cap.
+        # the cross-chain tail of solver iterations -- and a ~3-5% never-
+        # converging tail pegs at ANY cap, so the fleet pays ~cap iterations
+        # every solve.  Cap 24 (default above) sits in the measured sweet
+        # spot: above the p90 (13) of converging solves, well below the
+        # reference's 50; cap 16 truncates the bulk and loses ESS/sec.
         max_solver_iters=solver_iters_cap,
         constraint_tol=tols["constraint_tol"],
         position_tol=tols["position_tol"],
