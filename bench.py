@@ -609,9 +609,27 @@ def main():
 
     phase("chain-init")
     t0 = time.time()
-    q_init, x_obs_init = retry_transient(
-        lambda: init_chains(jax.random.PRNGKey(20200710)), what="chain init"
-    )
+    ckpt_state = None
+    if driver == "host" and os.path.exists(ckpt):
+        # Resuming: the host loop replaces the initial state with the
+        # checkpoint's, so running the (expensive, wedge-prone) fleet
+        # initialisation would be pure waste -- feed the checkpointed state
+        # directly.  (Three consecutive tunnel wedges at this exact phase
+        # on resume attempts, 2026-08-21.)
+        try:
+            with np.load(ckpt, allow_pickle=True) as ck:
+                if "q" in ck.files and "x_obs" in ck.files:
+                    ckpt_state = (np.asarray(ck["q"]), np.asarray(ck["x_obs"]))
+        except Exception as err:  # noqa: BLE001 - fall back to fresh init
+            sys.stderr.write(f"[bench-child] ckpt preload failed: {err!r}\n")
+    if ckpt_state is not None and ckpt_state[0].shape[0] == num_chains:
+        q_init = jnp.asarray(ckpt_state[0], dtype)
+        x_obs_init = jnp.asarray(ckpt_state[1], dtype)
+        sys.stderr.write("[bench-child] init skipped (checkpoint state)\n")
+    else:
+        q_init, x_obs_init = retry_transient(
+            lambda: init_chains(jax.random.PRNGKey(20200710)), what="chain init"
+        )
     init_time = time.time() - t0
 
     def trace_func(q):

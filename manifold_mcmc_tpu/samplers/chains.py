@@ -1818,8 +1818,24 @@ def sample_chmc_chains_host_loop(
                 what="cliff probe",
             )
             if pooled_step_adaptation:
-                # One shared step bound: the fleet obeys the lowest cliff.
-                cliff = jnp.full_like(cliff, jnp.min(cliff))
+                # One shared step bound, calibrated to the FLEET MEDIAN
+                # probe (x step_size_cliff_safety, applied by the caller's
+                # fraction inside _cliff_probe).  Not the minimum: with
+                # ~1000 chains the min is the worst outlier -- one chain
+                # whose probe collapses to ~0 drives the shared bound to 0
+                # and freezes the whole fleet (measured, round-4 rehab
+                # takes 1-2).  Not a low quantile either: the per-solve
+                # failure tail is intrinsic (~3-5% of solves fail at ANY
+                # step -- solver_tail_probe JSON), so low quantiles of the
+                # single-step probe read far below steps the fleet
+                # demonstrably sustains (p05 landed under 0.05 while the
+                # fleet runs at 0.23 with accept 0.83; take 3 pinned at its
+                # floor).  Floored at the caller's init step so adaptation
+                # is never clamped below its own starting point.
+                shared = jnp.maximum(
+                    jnp.median(cliff), jnp.asarray(init_step_size, dtype)
+                )
+                cliff = jnp.full_like(cliff, shared)
             da = jax.vmap(ad.dual_averaging_init)(init_eps, cliff)
         step_size = jnp.asarray(init_step_size, dtype)
 
