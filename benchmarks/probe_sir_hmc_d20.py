@@ -103,7 +103,9 @@ def main():
 
     n_step = np.asarray(result["stats"]["n_step"])  # (chains, iters)
     tree_depth = np.asarray(result["stats"]["tree_depth"])
-    iter_times = result["timings"]["main_sweep_s"]
+    # The HMC host loop does not report per-iteration timings; the total
+    # wall (warm cache) divided by iterations is the per-iteration cost.
+    iter_times = [wall / max(num_iters, 1)]
     out = {
         "chains": num_chains,
         "iters": num_iters,
