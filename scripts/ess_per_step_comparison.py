@@ -36,7 +36,7 @@ CPU_CKPT = os.path.join(
     REPO, "experiments", "fhn_noiseless_chmc_canonical_cpu_f64", "checkpoint.npz"
 )
 DEFAULT_TPU = os.path.join(
-    REPO, "benchmarks", "results", "bench_r3_rehearsal_32sweeps_2026-08-20.json"
+    REPO, "benchmarks", "results", "bench_r4_rehearsal_cap24_2026-08-21.json"
 )
 OUT = os.path.join(REPO, "validation", "ess_per_step_comparison.json")
 
