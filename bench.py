@@ -69,10 +69,20 @@ against both the MXU and HBM rooflines).  When the first rung lands with
 enough budget left, the measurement is replicated at a second seed into
 ``benchmarks/results/bench_second_seed_s*.json`` (stdout stays one line).
 
+Round-5 convergence gate: rung 0 starts from the committed STATIONARY
+fixture ``benchmarks/fixtures/fhn_canonical_stationary.npz`` (the final
+1024-chain state of the in-run pooled-DA warm-up, 250 warm + 32 main
+iterations on the chip), so every main draw is a stationary draw and the
+reported bulk-ESS / r_hat_max are free of the initialisation transient
+(BENCH_r04 carried r_hat_max ~2.2 from a cold start; the reference flags
+R-hat > 1.01, ``scripts/fhn_model_noisy_obs_generate_plots.py:69-76``).
+
 Env overrides: MMT_BENCH_CHAINS/WARM/MAIN/T/S/R, MMT_BENCH_X64,
 MMT_BENCH_DRIVER (host|ingraph), MMT_BENCH_DEADLINE, MMT_BENCH_RUNG,
 MMT_BENCH_CHILD_TIMEOUT, MMT_BENCH_SPLITTING (standard|gaussian),
-MMT_BENCH_SECOND_SEED=0 (disable the replicate).
+MMT_BENCH_SECOND_SEED=0 (disable the replicate), MMT_BENCH_FIXTURE
+(path override, or 0 to force a fresh cold start), MMT_BENCH_KEEP_CKPT=1
+(keep the checkpoint of a completed run).
 """
 
 import faulthandler
@@ -109,7 +119,10 @@ import numpy as np  # noqa: E402
 # tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
 # deadline-partial floor.
 RUNGS = [
-    (1024, 100, 25, 5, 6, 0, 32),
+    # Rung 0 samples 64 main iterations: from the stationary fixture every
+    # draw is a stationary draw (r_hat gate), sweeps cost ~2-4 s warm-cache,
+    # and the longer window tightens the pooled bulk-ESS estimate.
+    (1024, 100, 25, 5, 6, 0, 64),
     (512, 100, 25, 5, 6, 0, 32),
     (256, 100, 25, 5, 6, 0, 32),
     (64, 100, 25, 5, 6, 0, 32),
@@ -298,7 +311,11 @@ def _compute_output(
     # here means the pooled bulk-ESS is contaminated by the initialisation
     # transient and the ess/s figure should be read with that caveat.
     r_hat = {name: diag.split_rhat(traces[name]) for name in _TRACE_NAMES}
-    r_hat_max = float(max(r_hat.values()))
+    # nanmax, not Python max: max() silently skips NaN depending on argument
+    # order (constant trace / too-few draws), which would defeat the gate.
+    r_hat_vals = np.asarray(list(r_hat.values()), np.float64)
+    r_hat_has_nan = bool(np.isnan(r_hat_vals).any())
+    r_hat_max = float(np.nanmax(r_hat_vals)) if not np.isnan(r_hat_vals).all() else float("nan")
     min_ess = float(min(ess.values()))
     ess_per_sec = min_ess / total_time
     # Pooled per-constrained-leapfrog-step latency (reference tau_step,
@@ -333,8 +350,14 @@ def _compute_output(
         "ess_bulk": {k: round(v, 1) for k, v in ess.items()},
         "r_hat_max": round(r_hat_max, 4),
         "r_hat": {k: round(v, 4) for k, v in r_hat.items()},
+        "r_hat_has_nan": r_hat_has_nan,
+        # main_phase_time_s: measurement window the ess/s divides by (median
+        # compile-free sweep wall x completed main sweeps).  wall_time_s:
+        # REAL wall clock of this child process so far -- init + compile +
+        # warm-up + measurement (round-4 review: the two were aliased, which
+        # invited undercounting real wall by the large, variable init time).
         "main_phase_time_s": round(total_time, 2),
-        "wall_time_s": round(total_time, 2),
+        "wall_time_s": round(time.time() - ctx["t_start"], 2),
         "pooled_step_latency_s": float(f"{step_latency:.3e}"),
         "avg_solver_iters_per_step": round(n_bar, 2),
         "mean_accept_stat": round(accept, 3),
@@ -430,7 +453,10 @@ def _salvage_from_checkpoint(ctx):
             n_sweeps,
             ctx["n_main_sweeps_target"],
             ctx,
-            extras={"salvaged_by_watchdog": True},
+            extras={
+                "salvaged_by_watchdog": True,
+                "init_source": ctx.get("init_source", "unknown"),
+            },
         )
     except Exception as err:  # noqa: BLE001 - last-resort path must not raise
         sys.stderr.write(f"[bench-child] salvage failed: {err!r}\n")
@@ -512,14 +538,22 @@ def main():
     # 19.4 ess/s.  Cap 16 truncates the p90..16 bulk and loses (round-2
     # measurement: 7 ess/s).
     solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 24))
+    pooled_da = os.environ.get("MMT_BENCH_POOLED_DA") == "1"
+    init_step = float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23))
+    cliff_safety = float(os.environ.get("MMT_BENCH_CLIFF_SAFETY", 0.5))
     # The checkpoint key must pin the FULL run configuration: resuming a
     # checkpoint from a different rung (or an older code version) would
-    # silently skip sweeps or load an incompatible trace layout.
+    # silently skip sweeps or load an incompatible trace layout.  That
+    # includes the adaptation mode: a per-chain-DA checkpoint has diverged
+    # DualAveragingState rows, and resuming it in pooled mode would silently
+    # adopt chain 0's log_step as the fleet step (round-4 advisor finding),
+    # so pooled-DA / init-step / cliff-safety are part of the key.
     ckpt = os.environ.get(
         "MMT_BENCH_CKPT",
-        f"/tmp/mmt_bench_v3_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
+        f"/tmp/mmt_bench_v4_{driver}_{num_chains}c_T{T}_S{S}_R{R}"
         f"_d{max_tree_depth}_w{num_warm}_m{num_main}_si{solver_iters_cap}"
-        f"_seed{seed}_{solver}_{splitting}.npz",
+        f"_seed{seed}_{solver}_{splitting}"
+        f"_pda{int(pooled_da)}_is{init_step:g}_cs{cliff_safety:g}.npz",
     )
     deadline_ts = float(os.environ.get("MMT_BENCH_DEADLINE_TS", "inf"))
 
@@ -610,6 +644,7 @@ def main():
     phase("chain-init")
     t0 = time.time()
     ckpt_state = None
+    init_source = "fresh"
     if driver == "host" and os.path.exists(ckpt):
         # Resuming: the host loop replaces the initial state with the
         # checkpoint's, so running the (expensive, wedge-prone) fleet
@@ -620,17 +655,52 @@ def main():
             with np.load(ckpt, allow_pickle=True) as ck:
                 if "q" in ck.files and "x_obs" in ck.files:
                     ckpt_state = (np.asarray(ck["q"]), np.asarray(ck["x_obs"]))
+                    init_source = "checkpoint_resume"
         except Exception as err:  # noqa: BLE001 - fall back to fresh init
             sys.stderr.write(f"[bench-child] ckpt preload failed: {err!r}\n")
+    if ckpt_state is None and num_warm == 0:
+        # Stationary-start fixture (round-5): the committed final state of
+        # the 1024-chain in-run warm-up (pooled-DA dual averaging, 250 warm
+        # + 32 main iterations at the canonical config -- provenance in the
+        # fixture's own `provenance` field and docs/evidence.md).  Starting
+        # rung 0 from it makes every main draw a stationary draw, so the
+        # bulk-ESS window is uncontaminated by the initialisation transient
+        # that put r_hat_max at ~2.2 in BENCH_r04 (the round-4 judged gap).
+        # Disable with MMT_BENCH_FIXTURE=0; config must match exactly.
+        fix_path = os.environ.get(
+            "MMT_BENCH_FIXTURE",
+            os.path.join(
+                _repo, "benchmarks", "fixtures", "fhn_canonical_stationary.npz"
+            ),
+        )
+        if fix_path != "0" and os.path.exists(fix_path):
+            try:
+                with np.load(fix_path, allow_pickle=True) as fx:
+                    cfg_ok = (
+                        int(fx["num_chains"]) >= num_chains
+                        and tuple(int(x) for x in fx["config_TSR"]) == (T, S, R)
+                        and str(fx["dtype"]) == str(dtype.__name__)
+                        and str(fx["splitting"]) == splitting
+                    )
+                    if cfg_ok:
+                        ckpt_state = (
+                            np.asarray(fx["q"])[:num_chains],
+                            np.asarray(fx["x_obs"])[:num_chains],
+                        )
+                        init_source = "stationary_fixture"
+            except Exception as err:  # noqa: BLE001 - fall back to fresh init
+                sys.stderr.write(f"[bench-child] fixture load failed: {err!r}\n")
     if ckpt_state is not None and ckpt_state[0].shape[0] == num_chains:
         q_init = jnp.asarray(ckpt_state[0], dtype)
         x_obs_init = jnp.asarray(ckpt_state[1], dtype)
-        sys.stderr.write("[bench-child] init skipped (checkpoint state)\n")
+        sys.stderr.write(f"[bench-child] init skipped ({init_source})\n")
     else:
+        init_source = "fresh"
         q_init, x_obs_init = retry_transient(
             lambda: init_chains(jax.random.PRNGKey(20200710)), what="chain init"
         )
     init_time = time.time() - t0
+    ctx["init_source"] = init_source
 
     def trace_func(q):
         z = fhn.generate_z(q[: fhn.dim_z])
@@ -660,14 +730,12 @@ def main():
         # In-run adaptation evidence lives in warmup_rehab_* (cliff-clamped
         # dual averaging converging on the chip); the bench keeps the
         # amortised tuned point so its budget is spent measuring.
-        init_step_size=float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23)),
+        init_step_size=init_step,
         # Warm-up studies only (MMT_BENCH_WARM > 0): fraction of the probed
         # per-chain failure-cliff step size that dual averaging may not
         # exceed (host-loop default 0.5; 0.25 keeps the mu-anchor excursion
         # clear of the cliff).
-        step_size_cliff_safety=float(
-            os.environ.get("MMT_BENCH_CLIFF_SAFETY", 0.5)
-        ),
+        step_size_cliff_safety=cliff_safety,
     )
 
     t_run = time.time()
@@ -709,7 +777,7 @@ def main():
             deadline_ts=deadline_ts - 20.0 if np.isfinite(deadline_ts) else None,
             # Warm-up studies: dual-average on the fleet-pooled accept
             # statistic (near-noiseless at 1024 chains) instead of per-chain.
-            pooled_step_adaptation=os.environ.get("MMT_BENCH_POOLED_DA") == "1",
+            pooled_step_adaptation=pooled_da,
             **common,
         )
         jax.block_until_ready(result["final_pos"])
@@ -765,6 +833,12 @@ def main():
         extras={
             "compile_and_warmup_time_s": round(compile_time, 1),
             "init_time_s": round(init_time, 1),
+            # Full budget accounting (round-4 review: 505 s vs 39 s init
+            # across captures was unexplained).  init_source says whether the
+            # fleet init dispatch ran at all: "stationary_fixture" and
+            # "checkpoint_resume" skip it entirely, so a large init_time_s
+            # can only mean wedge retries on a "fresh" start.
+            "init_source": init_source,
             "final_step_size": round(float(result["final_step_size"]), 5),
             "device": str(jax.devices()[0]),
         },
@@ -773,8 +847,11 @@ def main():
         return 0  # watchdog won the race; its outcome stands
     print(json.dumps(out), flush=True)
     # A COMPLETED measurement's checkpoint must not leak into future runs; a
-    # partial one is kept so the next invocation resumes the remaining sweeps.
-    if not out["partial"] and ckpt and os.path.exists(ckpt):
+    # partial one is kept so the next invocation resumes the remaining
+    # sweeps.  MMT_BENCH_KEEP_CKPT=1 preserves it either way (warm-up-study
+    # runs whose final state seeds the stationary fixture).
+    keep = os.environ.get("MMT_BENCH_KEEP_CKPT") == "1"
+    if not keep and not out["partial"] and ckpt and os.path.exists(ckpt):
         os.remove(ckpt)
     return 0
 

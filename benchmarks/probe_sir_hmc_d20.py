@@ -85,10 +85,31 @@ def main():
         f"[d20-probe] {num_chains} chains from d10 final state, "
         f"step={step_size:.3e}, depth={depth}, chunk={chunk}\n"
     )
+    # Round-4 advisor finding: a single wall/iters quotient folds the first
+    # dispatch's executable load / possible cold compile (up to ~100x a
+    # steady iteration) into the per-iteration cost that prices the
+    # depth-20 canonical run.  Burn one UNTIMED iteration first so the
+    # timed window is compile-free, and record the warm-up's own wall so
+    # the JSON shows how (un)warm the cache actually was.
+    t_warm = time.time()
+    warm = sample_hmc_chains_host_loop(
+        system,
+        jnp.asarray(q_final, dtype),
+        jax.random.PRNGKey(20200810),
+        num_warm_up_iter=0,
+        num_main_iter=1,
+        max_tree_depth=depth,
+        init_step_size=step_size,
+        find_init_step_size=False,
+        max_steps_per_dispatch=chunk,
+    )
+    jax.block_until_ready(warm["final_pos"])
+    compile_iter_wall = time.time() - t_warm
+
     t0 = time.time()
     result = sample_hmc_chains_host_loop(
         system,
-        jnp.asarray(q_final, dtype),
+        warm["final_pos"],
         jax.random.PRNGKey(20200811),
         num_warm_up_iter=0,
         num_main_iter=num_iters,
@@ -103,8 +124,6 @@ def main():
 
     n_step = np.asarray(result["stats"]["n_step"])  # (chains, iters)
     tree_depth = np.asarray(result["stats"]["tree_depth"])
-    # The HMC host loop does not report per-iteration timings; the total
-    # wall (warm cache) divided by iterations is the per-iteration cost.
     iter_times = [wall / max(num_iters, 1)]
     out = {
         "chains": num_chains,
@@ -114,6 +133,7 @@ def main():
         "chunk": chunk,
         "wall_s_total": round(wall, 1),
         "iter_wall_s": [round(t, 1) for t in iter_times],
+        "untimed_first_iter_wall_s": round(compile_iter_wall, 1),
         "n_step_median": float(np.median(n_step)),
         "n_step_p90": float(np.percentile(n_step, 90)),
         "n_step_max": int(n_step.max()),

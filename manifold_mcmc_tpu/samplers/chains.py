@@ -158,6 +158,23 @@ def stan_windows(num_warm_up_iter, init_buffer=75, term_buffer=50, base_window=2
     return init_buffer, windows, term_buffer
 
 
+def _finite_pooled_mean(accept):
+    """Mean accept statistic over chains, ignoring non-finite entries.
+
+    In pooled step adaptation one shared step size is updated from the
+    fleet-mean accept statistic; a single chain whose tree produced a NaN
+    accept (a non-finite Hamiltonian that escaped the divergence
+    comparison) would otherwise poison the shared step for the entire
+    fleet permanently, where per-chain adaptation confines the damage to
+    that chain.  Non-finite entries count as 0 accept (the conservative
+    reading: a diverged trajectory is a rejection), and the mean is taken
+    over ALL chains so a NaN still pushes the step down rather than
+    disappearing.
+    """
+    finite = jnp.isfinite(accept)
+    return jnp.mean(jnp.where(finite, accept, 0.0))
+
+
 def _split_keys(key, num):
     return jax.random.split(key, num)
 
@@ -1486,9 +1503,13 @@ def sample_chmc_chains_host_loop(
     adaptation trajectory is deterministic-like and a single unlucky
     chain's zero-accept run cannot collapse the shared step.  The
     per-chain cliff clamp (``step_size_cliff_safety``) composes with it:
-    pooled mode clamps at the FLEET MINIMUM cliff (one shared bound).
-    Checkpoint schema is unchanged -- the per-chain DualAveragingState rows
-    simply stay identical.
+    pooled mode clamps at the FLEET-MEDIAN cliff probe, floored at the
+    caller's ``init_step_size`` (one shared bound; the fleet-min variant
+    was a measured failure mode -- a single degenerate probe froze the
+    whole fleet at step ~0, see the inline comment at the clamp site and
+    ``benchmarks/results/warmup_rehab_pooled_*.json``).  Checkpoint schema
+    is unchanged -- the per-chain DualAveragingState rows simply stay
+    identical.
 
     The result includes ``timings``: wall seconds per warm-up / main sweep
     (first element of each list includes that executable's compile), plus
@@ -1553,7 +1574,7 @@ def sample_chmc_chains_host_loop(
                 q, x_obs, stats = jax.vmap(
                     lambda q1, x1, k1: sub_iteration(q1, x1, p, k1, step)
                 )(q, x_obs, sub_key)
-                pooled_accept = jnp.mean(stats["accept_stat"])
+                pooled_accept = _finite_pooled_mean(stats["accept_stat"])
                 da = jax.vmap(
                     lambda d: ad.dual_averaging_update(
                         d,
@@ -1671,8 +1692,11 @@ def sample_chmc_chains_host_loop(
         def _warm_post(da, stats):
             accept = stats["accept_stat"]
             if pooled_step_adaptation:
-                # Fleet-pooled statistic broadcast to the (identical) rows.
-                accept = jnp.broadcast_to(jnp.mean(accept), accept.shape)
+                # Fleet-pooled statistic broadcast to the (identical) rows;
+                # finite-masked so one NaN accept cannot poison the fleet.
+                accept = jnp.broadcast_to(
+                    _finite_pooled_mean(accept), accept.shape
+                )
             return jax.vmap(
                 lambda d, a: ad.dual_averaging_update(
                     d,

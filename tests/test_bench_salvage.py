@@ -44,9 +44,11 @@ def _write_fake_checkpoint(path, n_chains=4, n_sweeps=10, n_partition=2, seed=0)
 
 
 def _ctx(bench, ckpt, n_sweeps_target=16):
+    import time
+
     return {
         "phase": ["test"],
-        "t_start": 0.0,
+        "t_start": time.time(),
         "ckpt": str(ckpt),
         "deadline_ts": float("inf"),
         "num_chains": 4,
@@ -77,7 +79,7 @@ def test_salvage_reconstructs_result(bench, tmp_path):
     assert out["salvaged_by_watchdog"] is True
     assert out["partial"] is True  # 10 of 16 target sweeps
     # 10 sweeps x median(2.0, 2.2, 1.8) seconds.
-    assert out["wall_time_s"] == pytest.approx(20.0)
+    assert out["main_phase_time_s"] == pytest.approx(20.0)
     # tau_step = 20 s / (4 chains * 10 sweeps * 2 partitions * 16 steps).
     assert out["pooled_step_latency_s"] == pytest.approx(20.0 / 1280, rel=1e-3)
     # vs_baseline is rounded to 2 decimals in the output dict.
@@ -98,7 +100,34 @@ def test_salvage_reconstructs_result(bench, tmp_path):
     lo, hi = out["vs_paper_tau_eff_band"]
     assert lo == pytest.approx(out["value"] / 10.0, abs=0.06)
     assert hi == pytest.approx(out["value"] / 0.1, abs=0.06)
-    assert out["main_phase_time_s"] == out["wall_time_s"]
+    # wall_time_s is the REAL process wall clock (round-5 fix: it used to
+    # alias main_phase_time_s, undercounting init/compile), so with t_start
+    # = now it must be tiny, not 20 s.
+    assert 0.0 <= out["wall_time_s"] < 20.0
+    assert out["r_hat_has_nan"] is False
+    assert out["init_source"] == "unknown"
+
+
+def test_rhat_nan_is_flagged_not_skipped(bench, tmp_path):
+    """A constant trace yields NaN split-R-hat; the gate must flag it.
+
+    Round-4 advisor finding: Python ``max`` over dict values silently skips
+    NaN depending on order, so a benign-looking r_hat_max could hide a
+    constant (frozen) parameter trace.  nanmax + the explicit flag keep the
+    gate honest.
+    """
+    ckpt = tmp_path / "ck.npz"
+    _write_fake_checkpoint(ckpt)
+    # Overwrite one trace with a constant: split_rhat -> NaN (zero variance).
+    with np.load(ckpt) as ck:
+        payload = {k: ck[k] for k in ck.files}
+    payload["trc__sigma"] = np.zeros_like(payload["trc__sigma"])
+    np.savez(ckpt, **payload)
+    out = bench._salvage_from_checkpoint(_ctx(bench, ckpt))
+    assert out is not None
+    assert out["r_hat_has_nan"] is True
+    # The finite parameters' r_hat still drives the reported max.
+    assert np.isfinite(out["r_hat_max"])
 
 
 def test_salvage_refuses_below_floor(bench, tmp_path):

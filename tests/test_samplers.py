@@ -1047,3 +1047,21 @@ def test_hmc_host_loop_deadline_partial_and_resume(tmp_path):
         float(r_res["final_step_size"]),
         rtol=0,
     )
+
+
+def test_finite_pooled_mean_masks_nan_as_rejection():
+    """One NaN accept must not poison the pooled statistic (round-4 advisor).
+
+    The masked mean treats non-finite accepts as 0 (a diverged trajectory is
+    a rejection) while keeping the full-fleet denominator, so a NaN lowers
+    the pooled accept instead of propagating NaN into the shared step size.
+    """
+    from manifold_mcmc_tpu.samplers.chains import _finite_pooled_mean
+
+    a = jnp.array([0.8, 0.6, jnp.nan, 1.0])
+    got = float(_finite_pooled_mean(a))
+    assert np.isfinite(got)
+    assert got == pytest.approx((0.8 + 0.6 + 0.0 + 1.0) / 4)
+    # All-finite input reduces to the plain mean.
+    b = jnp.array([0.2, 0.4])
+    assert float(_finite_pooled_mean(b)) == pytest.approx(0.3)
