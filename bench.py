@@ -119,10 +119,17 @@ import numpy as np  # noqa: E402
 # tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
 # deadline-partial floor.
 RUNGS = [
-    # Rung 0 samples 64 main iterations: from the stationary fixture every
-    # draw is a stationary draw (r_hat gate), sweeps cost ~2-4 s warm-cache,
-    # and the longer window tightens the pooled bulk-ESS estimate.
-    (1024, 100, 25, 5, 6, 0, 64),
+    # Rung 0 samples 384 main iterations from the stationary fixture.  The
+    # window length is set by the convergence gate, not the rate estimate:
+    # split-R-hat over m half-chains of n draws reads ~sqrt(1 + tau/n) even
+    # at perfect stationarity, and the measured integrated autocorrelation
+    # at the tuned step is tau ~ 15-21 draws (min-param ESS/draw ~ 0.05-
+    # 0.08), so a 32-draw window CANNOT read below ~1.25 -- the round-4
+    # r_hat 2.2 was transient + window both.  384 draws (192 sweeps at
+    # ~3.5 s warm-cache) puts the stationary expectation at ~1.05 and fits
+    # one 1320 s child with ~2x slowdown margin; the deadline-partial path
+    # still reports a (shorter-window) result on a slow chip.
+    (1024, 100, 25, 5, 6, 0, 384),
     (512, 100, 25, 5, 6, 0, 32),
     (256, 100, 25, 5, 6, 0, 32),
     (64, 100, 25, 5, 6, 0, 32),
