@@ -119,17 +119,22 @@ import numpy as np  # noqa: E402
 # tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
 # deadline-partial floor.
 RUNGS = [
-    # Rung 0 samples 384 main iterations from the stationary fixture.  The
+    # Rung 0 samples 2432 main iterations from the stationary fixture.  The
     # window length is set by the convergence gate, not the rate estimate:
-    # split-R-hat over m half-chains of n draws reads ~sqrt(1 + tau/n) even
-    # at perfect stationarity, and the measured integrated autocorrelation
-    # at the tuned step is tau ~ 15-21 draws (min-param ESS/draw ~ 0.05-
-    # 0.08), so a 32-draw window CANNOT read below ~1.25 -- the round-4
-    # r_hat 2.2 was transient + window both.  384 draws (192 sweeps at
-    # ~3.5 s warm-cache) puts the stationary expectation at ~1.05 and fits
-    # one 1320 s child with ~2x slowdown margin; the deadline-partial path
-    # still reports a (shorter-window) result on a slow chip.
-    (1024, 100, 25, 5, 6, 0, 384),
+    # split-R-hat over half-chains of n draws reads ~sqrt(1 + tau/n) even at
+    # perfect stationarity, and the MEASURED integrated autocorrelation at
+    # the tuned step 0.23 is tau ~ 90-110 draws (384-draw stationary
+    # rehearsal, 2026-08-21: min ESS/draw 0.0091, r_hat 1.195 -- the
+    # round-4 "28 ess/s at r_hat 2.2" was the 32-draw window truncating the
+    # autocorrelation sum, not genuine mixing).  2432 draws puts the
+    # stationary expectation at r_hat ~ 1.04-1.05.  That is ~70 min of
+    # sweeps at the warm-cache 3.46 s -- more than one child budget -- so
+    # the rung leans on the checkpoint-resume contract: every invocation
+    # accumulates completed sweeps under the same config-keyed checkpoint,
+    # deadline-partials report the window completed so far, and a resumed
+    # invocation that finds the target complete reports the full window
+    # from the persisted per-sweep times without re-dispatching.
+    (1024, 100, 25, 5, 6, 0, 2432),
     (512, 100, 25, 5, 6, 0, 32),
     (256, 100, 25, 5, 6, 0, 32),
     (64, 100, 25, 5, 6, 0, 32),
