@@ -7,16 +7,17 @@ dynamic multinomial HMC -- reference
 vmapped chains in float32 on one TPU chip, and reports pooled bulk-ESS per
 wall-clock second over the parameters (sigma, eps, gamma, beta).
 
-The sampler operates at its TUNED point: step size 0.23, grid-tuned offline
-(committed sweep ``benchmarks/results/step_size_sweep_2026-08-17.json``,
-refined at 1024 chains), sitting inside the reference's target-accept band
-(mean accept ~0.78 vs target 0.8).  In-run dual averaging is deliberately
-off: its standard mu-anchor drives the step into the f32 projection-failure
-cliff and collapses it (committed study
-``benchmarks/results/tuned_d10_warmup_*``), so tuning is amortised offline
-exactly like the compile cache.  The cliff-CLAMPED adapter does converge in
-run (``benchmarks/results/warmup_rehab_*``); the fixed tuned step is kept
-here only because it spends the benchmark budget on measurement.
+The sampler operates at the step its own in-run warm-up machinery adapts
+to: 0.205, found by pooled-accept dual averaging on the chip
+(``benchmarks/results/warmup_rehab_completed_250w32m_2026-08-21.json``)
+and amortised here exactly like the compile cache (the bench budget is
+spent measuring, not re-adapting).  Round 5 replaced the old grid-tuned
+0.23: long stationary windows show that at 0.23 trajectories U-turn after
+~9.5 steps and the global parameters mix diffusively (per-chain tau ~
+O(10^3) draws; the earlier short-window ess/s figures were truncation
+artifacts), while at 0.205 trajectories U-turn at ~38 steps and tau drops
+to ~13-15 draws -- see
+``benchmarks/results/mixing_study_step023_longwindow_2026-08-21.json``.
 
 Baseline: the reference publishes no absolute ESS/sec (BASELINE.md), so the
 denominator is *measured*: ``scripts/measure_cpu_baseline.py`` times the
@@ -119,22 +120,28 @@ import numpy as np  # noqa: E402
 # tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
 # deadline-partial floor.
 RUNGS = [
-    # Rung 0 samples 2432 main iterations from the stationary fixture.  The
-    # window length is set by the convergence gate, not the rate estimate:
-    # split-R-hat over half-chains of n draws reads ~sqrt(1 + tau/n) even at
-    # perfect stationarity, and the MEASURED integrated autocorrelation at
-    # the tuned step 0.23 is tau ~ 90-110 draws (384-draw stationary
-    # rehearsal, 2026-08-21: min ESS/draw 0.0091, r_hat 1.195 -- the
-    # round-4 "28 ess/s at r_hat 2.2" was the 32-draw window truncating the
-    # autocorrelation sum, not genuine mixing).  2432 draws puts the
-    # stationary expectation at r_hat ~ 1.04-1.05.  That is ~70 min of
-    # sweeps at the warm-cache 3.46 s -- more than one child budget -- so
-    # the rung leans on the checkpoint-resume contract: every invocation
-    # accumulates completed sweeps under the same config-keyed checkpoint,
-    # deadline-partials report the window completed so far, and a resumed
-    # invocation that finds the target complete reports the full window
-    # from the persisted per-sweep times without re-dispatching.
-    (1024, 100, 25, 5, 6, 0, 2432),
+    # Rung 0 samples 512 main iterations from the stationary fixture AT THE
+    # IN-RUN-ADAPTED STEP 0.205.  Both choices are set by the convergence
+    # gate (round-5 measurements, see benchmarks/results/
+    # mixing_study_step023_longwindow_2026-08-21.json):
+    #   * split-R-hat over half-chains of n draws reads ~sqrt(1 + tau/n)
+    #     even at perfect stationarity, so the gate needs n >> tau;
+    #   * at the old grid-tuned step 0.23 trajectories U-turn after ~9.5
+    #     steps and the global-parameter block mixes diffusively -- ESS
+    #     stays FLAT as the window grows (tau ~ O(10^3) per chain, R-hat
+    #     plateaus at ~1.18, ~2% of chains reject permanently) -- the short
+    #     -window "19/28 ess/s" figures were the truncated autocorrelation
+    #     sum, not mixing;
+    #   * at the step the pooled-DA warm-up itself adapts to (0.205),
+    #     trajectories U-turn at ~38 steps and tau ~ 13-15 draws, so 512
+    #     draws put the stationary R-hat expectation at ~1.03.
+    # 256 sweeps at the measured ~12.6 s each is ~54 min -- more than one
+    # child budget -- so the rung leans on the checkpoint-resume contract:
+    # every invocation accumulates completed sweeps under the config-keyed
+    # checkpoint, deadline-partials report the window completed so far, and
+    # a resumed invocation that finds the target complete reports the full
+    # window from the persisted per-sweep times without re-dispatching.
+    (1024, 100, 25, 5, 6, 0, 512),
     (512, 100, 25, 5, 6, 0, 32),
     (256, 100, 25, 5, 6, 0, 32),
     (64, 100, 25, 5, 6, 0, 32),
@@ -551,7 +558,7 @@ def main():
     # measurement: 7 ess/s).
     solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 24))
     pooled_da = os.environ.get("MMT_BENCH_POOLED_DA") == "1"
-    init_step = float(os.environ.get("MMT_BENCH_INIT_STEP", 0.23))
+    init_step = float(os.environ.get("MMT_BENCH_INIT_STEP", 0.205))
     cliff_safety = float(os.environ.get("MMT_BENCH_CLIFF_SAFETY", 0.5))
     # The checkpoint key must pin the FULL run configuration: resuming a
     # checkpoint from a different rung (or an older code version) would
@@ -734,14 +741,9 @@ def main():
         reverse_check_tol=tols["reverse_check_tol"],
         divergence_tol=tols["divergence_tol"],
         trace_func=trace_func,
-        # Tuned operating point.  The step size is grid-tuned offline (the
-        # committed sweep in benchmarks/results/step_size_sweep_*.json maps
-        # accept/ESS-per-sec over [0.05, 0.5]): 0.23 sits inside the
-        # reference's target-accept band (measured mean accept 0.78 at 1024
-        # chains against adapt_stat_target 0.8) and maximises ESS/sec.
-        # In-run adaptation evidence lives in warmup_rehab_* (cliff-clamped
-        # dual averaging converging on the chip); the bench keeps the
-        # amortised tuned point so its budget is spent measuring.
+        # The in-run-adapted operating point (default 0.205; see module
+        # docstring).  With warm=0 the host loop samples at exactly this
+        # step; warm-up studies (MMT_BENCH_WARM > 0) adapt from it.
         init_step_size=init_step,
         # Warm-up studies only (MMT_BENCH_WARM > 0): fraction of the probed
         # per-chain failure-cliff step size that dual averaging may not
