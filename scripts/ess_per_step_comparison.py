@@ -94,14 +94,22 @@ def cpu_side():
 def tpu_side(path):
     with open(path) as f:
         r = json.load(f)
-    n_steps = r["wall_time_s"] / r["pooled_step_latency_s"]
+    # Round-5 bench results split the accounting: ``main_phase_time_s`` is
+    # the measurement window the ess/s divides by, while ``wall_time_s`` is
+    # the whole process wall (init + compile + measurement).  Older results
+    # only have ``wall_time_s`` (== the measurement window at the time).
+    main_time = r.get("main_phase_time_s", r["wall_time_s"])
+    n_steps = main_time / r["pooled_step_latency_s"]
+    step = r.get("final_step_size", r.get("config", {}).get("init_step_size"))
     return {
-        "arm": "TPU f32 (bench config: 1024 chains, quasi-Newton, tuned "
-        "fixed step 0.23, depth 6)",
+        "arm": (
+            f"TPU f32 (bench config: {r['num_chains']} chains, quasi-Newton, "
+            f"fixed step {step}, depth 6)"
+        ),
         "source": os.path.relpath(path, REPO),
         "num_chains": r["num_chains"],
         "n_main_iters_completed": r["num_main_iter_completed"],
-        "total_main_time_s": r["wall_time_s"],
+        "total_main_time_s": main_time,
         "total_integrator_steps": int(round(n_steps)),
         "ess_bulk": r["ess_bulk"],
         "min_param_ess_bulk": r["min_param_ess_bulk"],
