@@ -131,6 +131,15 @@ def main():
         / tpu["tau_step_pooled_s"],
         "ess_per_step_ratio_tpu_over_cpu": tpu["ess_per_step"]
         / cpu["ess_per_step"],
+        "status": (
+            "FINAL (round 5): BOTH arms converged -- CPU golden prefix "
+            "r_hat <= 1.003 at its committed sweep count, TPU rung-0 "
+            "r_hat_max 1.0147 over 512 stationary draws from the "
+            "golden-seeded fixture.  The CPU arm freezes at its committed "
+            "prefix (the full 1000-iteration schedule needs ~12 h on this "
+            "1-core sandbox; the prefix is long past its own convergence "
+            "gate, so further sweeps only shrink Monte-Carlo error)."
+        ),
         "notes": (
             "ess_per_sec_ratio is the fully measured headline; "
             "tau_step_ratio is what bench.py reports as vs_baseline; their "
@@ -140,16 +149,17 @@ def main():
             "the canonical run (checkpointed, resumable); CPU timing "
             "extrapolates the median measured per-sweep cost over all "
             "completed sweeps, the same convention bench.py uses for "
-            "resumed runs.  ESS at few chains x short prefix carries "
-            "Monte-Carlo error; both ESS estimators are this repo's "
+            "resumed runs.  Both ESS estimators are this repo's "
             "rank-normalised bulk ESS (utils/stats.py).  MEASURED origin "
-            "of the ESS/step gap: the CPU arm (reference defaults, "
-            "max_tree_depth=10, dual-averaged step ~0.20, accept ~0.81) "
-            "runs essentially every tree to the 1023-step depth cap -- the "
-            "U-turn criterion rarely fires on this posterior -- while the "
-            "TPU bench caps depth at 6 (64-step truncated NUTS, tuned step "
-            "0.23), which extracts ~an-order-of-magnitude more ESS per "
-            "integrator step here.  tau_step_ratio (bench vs_baseline) is "
+            "of the ESS/step gap (round-5 stationary-fleet numbers): the "
+            "CPU arm (reference defaults, max_tree_depth=10, dual-averaged "
+            "step 0.2005, accept 0.80) runs 91% of its trees to the "
+            "1023-step depth cap -- the U-turn criterion rarely fires on "
+            "this posterior -- with per-parameter tau 1.5-3.3 draws, while "
+            "the TPU bench caps depth at 6 (63-step truncated NUTS, step "
+            "0.205) paying tau 2.7-8.2 draws: ~2.5x the autocorrelation "
+            "for ~16x fewer integrator steps per draw nets the ~8.5x "
+            "ESS/step factor.  tau_step_ratio (bench vs_baseline) is "
             "therefore the conservative hardware number: it equals the "
             "ESS/sec ratio that WOULD hold if both arms ran the same tree "
             "schedule, and the fully measured end-to-end ESS/sec ratio is "
