@@ -71,12 +71,20 @@ enough budget left, the measurement is replicated at a second seed into
 ``benchmarks/results/bench_second_seed_s*.json`` (stdout stays one line).
 
 Round-5 convergence gate: rung 0 starts from the committed STATIONARY
-fixture ``benchmarks/fixtures/fhn_canonical_stationary.npz`` (the final
-1024-chain state of the in-run pooled-DA warm-up, 250 warm + 32 main
-iterations on the chip), so every main draw is a stationary draw and the
-reported bulk-ESS / r_hat_max are free of the initialisation transient
-(BENCH_r04 carried r_hat_max ~2.2 from a cold start; the reference flags
-R-hat > 1.01, ``scripts/fhn_model_noisy_obs_generate_plots.py:69-76``).
+fixture ``benchmarks/fixtures/fhn_canonical_stationary_v2.npz`` -- 1024
+chains seeded from the CONVERGED CPU f64 golden canonical arm (4 chains,
+R-hat <= 1.003, reference config) and decohered on-chip to the posterior's
+own between-chain dispersion -- so every main draw is a stationary draw
+and the reported bulk-ESS / r_hat_max measure typical-set mixing.  The
+v1 fixture (final state of a 250-iteration depth-6 in-run warm-up) was
+NOT stationary: the fleet carried near-initialisation dispersion in the
+global parameters and every ESS window measured the inward crawl
+(r_hat plateau ~1.2 at any window; root cause in ``benchmarks/results/
+fleet_init_dispersion_study_2026-08-21.json``).  BENCH_r04 carried
+r_hat_max ~2.2 from a cold start; the reference flags R-hat > 1.01,
+``scripts/fhn_model_noisy_obs_generate_plots.py:69-76``; the converged
+round-5 capture is ``benchmarks/results/bench_r5_rung0_converged.json``
+(15.8 ess/s, r_hat_max 1.0147 over 512 stationary draws).
 
 Env overrides: MMT_BENCH_CHAINS/WARM/MAIN/T/S/R, MMT_BENCH_X64,
 MMT_BENCH_DRIVER (host|ingraph), MMT_BENCH_DEADLINE, MMT_BENCH_RUNG,
@@ -120,22 +128,20 @@ import numpy as np  # noqa: E402
 # tau_step ratio is length-insensitive and MIN_MAIN_SWEEPS provides the
 # deadline-partial floor.
 RUNGS = [
-    # Rung 0 samples 512 main iterations from the stationary fixture AT THE
-    # IN-RUN-ADAPTED STEP 0.205.  Both choices are set by the convergence
-    # gate (round-5 measurements, see benchmarks/results/
-    # mixing_study_step023_longwindow_2026-08-21.json):
-    #   * split-R-hat over half-chains of n draws reads ~sqrt(1 + tau/n)
+    # Rung 0 samples 512 main iterations from the v2 stationary fixture at
+    # the in-run-adapted step 0.205.  Sizing (round-5 measurements):
+    #   * split-R-hat over half-chains of n draws reads ~sqrt(1 + 2*tau/n)
     #     even at perfect stationarity, so the gate needs n >> tau;
-    #   * at the old grid-tuned step 0.23 trajectories U-turn after ~9.5
-    #     steps and the global-parameter block mixes diffusively -- ESS
-    #     stays FLAT as the window grows (tau ~ O(10^3) per chain, R-hat
-    #     plateaus at ~1.18, ~2% of chains reject permanently) -- the short
-    #     -window "19/28 ess/s" figures were the truncated autocorrelation
-    #     sum, not mixing;
-    #   * at the step the pooled-DA warm-up itself adapts to (0.205),
-    #     trajectories U-turn at ~38 steps and tau ~ 13-15 draws, so 512
-    #     draws put the stationary R-hat expectation at ~1.03.
-    # 256 sweeps at the measured ~12.6 s each is ~54 min -- more than one
+    #   * from a TRULY stationary start (v2 fixture, seeded from the
+    #     converged golden arm) per-parameter tau is 2.7-8.2 draws and
+    #     STABLE across window doublings, so 512 draws put R-hat_max at
+    #     ~1.015 (measured: bench_r5_rung0_converged.json);
+    #   * the earlier diffusive readings (tau ~ O(10^2-10^3), R-hat
+    #     plateau ~1.2 at both 0.23 and 0.205, the "19/28 ess/s" truncated
+    #     windows) were all the same artifact -- a fleet still carrying
+    #     initialisation dispersion crawling toward the typical set; see
+    #     fleet_init_dispersion_study_2026-08-21.json.
+    # 256 sweeps at the measured ~12.7 s each is ~54 min -- more than one
     # child budget -- so the rung leans on the checkpoint-resume contract:
     # every invocation accumulates completed sweeps under the config-keyed
     # checkpoint, deadline-partials report the window completed so far, and
