@@ -129,7 +129,9 @@ import numpy as np  # noqa: E402
 # deadline-partial floor.
 RUNGS = [
     # Rung 0 samples 512 main iterations from the v2 stationary fixture at
-    # the in-run-adapted step 0.205.  Sizing (round-5 measurements):
+    # step 0.18 (the stationary-fleet optimum; see the init_step comment
+    # below -- the 0.205 converged capture bench_r5_rung0_converged.json
+    # predates the re-point).  Sizing (round-5 measurements):
     #   * split-R-hat over half-chains of n draws reads ~sqrt(1 + 2*tau/n)
     #     even at perfect stationarity, so the gate needs n >> tau;
     #   * from a TRULY stationary start (v2 fixture, seeded from the
@@ -564,7 +566,15 @@ def main():
     # measurement: 7 ess/s).
     solver_iters_cap = int(os.environ.get("MMT_BENCH_SOLVER_ITERS", 24))
     pooled_da = os.environ.get("MMT_BENCH_POOLED_DA") == "1"
-    init_step = float(os.environ.get("MMT_BENCH_INIT_STEP", 0.205))
+    # 0.18 is the stationary-fleet optimum of the round-5 solver-tolerance
+    # A/B (benchmarks/results/ab_solver_tolerance.json): vs the DA-adapted
+    # 0.205 it halves the sweep cost (trees U-turn naturally instead of
+    # padding to the 63-step cap), cuts masked projection failures 0.54 ->
+    # 0.38/draw, and nearly doubles ESS/draw -- ~3.5x the ESS/s -- with
+    # posterior moments within 0.04 golden-arm sd on every parameter.  The
+    # earlier step-size landscape (grid 0.23, DA 0.205) was measured on the
+    # pre-v2 crawling fleet and did not transfer to stationarity.
+    init_step = float(os.environ.get("MMT_BENCH_INIT_STEP", 0.18))
     cliff_safety = float(os.environ.get("MMT_BENCH_CLIFF_SAFETY", 0.5))
     # The checkpoint key must pin the FULL run configuration: resuming a
     # checkpoint from a different rung (or an older code version) would

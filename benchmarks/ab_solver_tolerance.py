@@ -54,8 +54,12 @@ from manifold_mcmc_tpu.utils import stats as diag  # noqa: E402
 from manifold_mcmc_tpu.utils.config import default_tolerances  # noqa: E402
 
 OUT = os.path.join(_repo, "benchmarks", "results", "ab_solver_tolerance.json")
+# v2 fixture: seeded from the converged CPU golden arm and decohered on-chip
+# (see scripts/make_stationary_fixture.py).  It carries its own y_seq (the
+# golden arm's 10000-steps-per-obs data grid); the system MUST be built on
+# that data so the fixture states lie on the manifold.
 FIXTURE = os.path.join(
-    _repo, "benchmarks", "fixtures", "fhn_canonical_stationary.npz"
+    _repo, "benchmarks", "fixtures", "fhn_canonical_stationary_v2.npz"
 )
 CPU_CKPT = os.path.join(
     _repo, "experiments", "fhn_noiseless_chmc_canonical_cpu_f64", "checkpoint.npz"
@@ -63,13 +67,7 @@ CPU_CKPT = os.path.join(
 PARAMS = ("sigma", "eps", "gamma", "beta")
 
 
-def build_system(dtype):
-    rng = np.random.default_rng(20200710)
-    z_true = jnp.array([0.3, 0.1, 1.5, 0.8], dtype)
-    x0_true = jnp.array([-0.5, 0.2], dtype)
-    steps_data = 1000
-    v_data = jnp.asarray(rng.standard_normal((100 * steps_data, fhn.dim_v)), dtype)
-    y_seq = fhn.generate_y_seq(z_true, x0_true, v_data, 0.2 / steps_data, steps_data)
+def build_system(y_seq):
     return ConditionedDiffusionConstrainedSystem(
         obs_interval=0.2,
         num_steps_per_obs=25,
@@ -180,10 +178,11 @@ def main():
         "smallstep": {"cap": 24, "tol_scale": 1.0, "step": 0.180},
     }
     dtype = jnp.float32
-    system = build_system(dtype)
     with np.load(FIXTURE, allow_pickle=True) as fx:
         q0 = jnp.asarray(np.asarray(fx["q"])[:num_chains], dtype)
         x_obs0 = jnp.asarray(np.asarray(fx["x_obs"])[:num_chains], dtype)
+        y_seq = jnp.asarray(np.asarray(fx["y_seq"]), dtype)
+    system = build_system(y_seq)
     golden = golden_moments() if os.path.exists(CPU_CKPT) else None
     out = {
         "study": "solver non-convergence statistical cost A/B (round-5)",

@@ -134,11 +134,14 @@ def main():
         "status": (
             "FINAL (round 5): BOTH arms converged -- CPU golden prefix "
             "r_hat <= 1.003 at its committed sweep count, TPU rung-0 "
-            "r_hat_max 1.0147 over 512 stationary draws from the "
-            "golden-seeded fixture.  The CPU arm freezes at its committed "
-            "prefix (the full 1000-iteration schedule needs ~12 h on this "
-            "1-core sandbox; the prefix is long past its own convergence "
-            "gate, so further sweeps only shrink Monte-Carlo error)."
+            "r_hat_max 1.0084 over 512 stationary draws from the "
+            "golden-seeded fixture at the stationary-fleet-tuned step 0.18 "
+            "(the 0.205 capture, 15.8 ess/s at r_hat_max 1.0147, is "
+            "preserved in bench_r5_rung0_converged_step0205.json).  The "
+            "CPU arm freezes at its committed prefix (the full "
+            "1000-iteration schedule needs ~12 h on this 1-core sandbox; "
+            "the prefix is long past its own convergence gate, so further "
+            "sweeps only shrink Monte-Carlo error)."
         ),
         "notes": (
             "ess_per_sec_ratio is the fully measured headline; "
@@ -156,10 +159,11 @@ def main():
             "step 0.2005, accept 0.80) runs 91% of its trees to the "
             "1023-step depth cap -- the U-turn criterion rarely fires on "
             "this posterior -- with per-parameter tau 1.5-3.3 draws, while "
-            "the TPU bench caps depth at 6 (63-step truncated NUTS, step "
-            "0.205) paying tau 2.7-8.2 draws: ~2.5x the autocorrelation "
-            "for ~16x fewer integrator steps per draw nets the ~8.5x "
-            "ESS/step factor.  tau_step_ratio (bench vs_baseline) is "
+            "the TPU bench (depth-6 truncated NUTS at the stationary-"
+            "fleet-tuned step 0.18, trees U-turn naturally at ~24 steps) "
+            "pays tau 1.6-4.3 draws: ~1.5x the autocorrelation for ~40x "
+            "fewer integrator steps per draw nets the ~31x ESS/step "
+            "factor.  tau_step_ratio (bench vs_baseline) is "
             "therefore the conservative hardware number: it equals the "
             "ESS/sec ratio that WOULD hold if both arms ran the same tree "
             "schedule, and the fully measured end-to-end ESS/sec ratio is "
